@@ -1,0 +1,73 @@
+"""Image metrics: PSNR / SSIM with the reference's (non-standard) conventions.
+
+PSNR normalizes the squared error by max(gt)^2 (metrics.py:292-316), NOT by
+a fixed peak of 1.0 — this matters for fidelity comparisons and is kept.
+SSIM uses a 3x3 uniform-style gaussian window and max_val = max(gt),
+matching kornia.losses.ssim(window=3) as called at metrics.py:327-341.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mse(image_pred, image_gt, valid_mask=None):
+    value = (image_pred - image_gt) ** 2
+    value = value / (jnp.max(image_gt) ** 2)
+    if valid_mask is not None:
+        return jnp.sum(value * valid_mask) / jnp.maximum(jnp.sum(valid_mask), 1)
+    return jnp.mean(value)
+
+
+def psnr(image_pred, image_gt, valid_mask=None):
+    return -10.0 * jnp.log10(mse(image_pred, image_gt, valid_mask))
+
+
+def _gaussian_kernel(window: int, sigma: float, dtype):
+    x = jnp.arange(window, dtype=dtype) - (window - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def ssim(image_pred, image_gt, window: int = 3, max_val=None):
+    """SSIM over (C, H, W) or (H, W, C) images (channel-separable gaussian
+    window sigma=1.5, the kornia convention)."""
+    if image_pred.ndim == 3 and image_pred.shape[0] in (1, 3):
+        pred = image_pred
+        gt = image_gt
+    else:
+        pred = jnp.moveaxis(image_pred, -1, 0)
+        gt = jnp.moveaxis(image_gt, -1, 0)
+    if max_val is None:
+        max_val = jnp.max(gt)
+
+    k = _gaussian_kernel(window, 1.5, pred.dtype)
+
+    def blur(img):
+        # separable conv along H then W, per channel, 'valid' padding
+        def conv1d(x, axis):
+            x = jnp.moveaxis(x, axis, -1)
+            n = x.shape[-1] - window + 1
+            out = jnp.zeros(x.shape[:-1] + (n,), x.dtype)
+            for i in range(window):
+                out = out + k[i] * x[..., i:i + n]
+            return jnp.moveaxis(out, -1, axis)
+        return conv1d(conv1d(img, 1), 2)
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_p = blur(pred)
+    mu_g = blur(gt)
+    mu_pg = mu_p * mu_g
+    sigma_p = blur(pred * pred) - mu_p ** 2
+    sigma_g = blur(gt * gt) - mu_g ** 2
+    sigma_pg = blur(pred * gt) - mu_pg
+    num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
+    den = (mu_p ** 2 + mu_g ** 2 + c1) * (sigma_p + sigma_g + c2)
+    return jnp.mean(num / den)
+
+
+def scale_images(img1, img2):
+    """Rescale both by max of img2 (sclimg, metrics.py:301-308)."""
+    max_ = jnp.max(img2)
+    return img1 / max_, img2 / max_

@@ -1,0 +1,287 @@
+"""Functional NeRF-family network: shared trunk + config-gated heads.
+
+One generic parameterized network covers all four reference model classes —
+NeRF (models/nerf.py:149-283), ShadowNeRF (models/snerf.py:78-198), SatNeRF
+(models/satnerf.py:102-262) and SpSBRDFNeRF (models/spsbrdfnerf.py:418-757)
+— because they share the identical trunk (8x512 skip-[4] MLP), sigma /
+feats / rgb heads, and differ only in which extra heads exist.  Head
+presence is static (ModelConfig), so XLA compiles a fixed-shape program per
+blessed config.
+
+Params are a flat dict of named heads whose keys mirror the reference's
+state_dict module names (fc_net, sigma_from_xyz, feats_from_xyz,
+rgb_from_xyzdir, sun_v_net, sky_color, beta_from_xyz, grad_from_xyz,
+roughness_from_xyz, k_from_xyz, theta_rpv_from_xyz, rhoc_from_xyz,
+b_from_xyz, c_from_xyz, theta_from_xyz) so the two-stage checkpoint handoff
+(main.py:97-104: restore trunk+sigma+feats, +rgb unless Hapke) is a literal
+dict subset here.
+
+Unlike the reference, the network returns a dict of named head outputs
+instead of packing a flag-dependent channel layout (spsbrdfnerf.py:138-190);
+the render step consumes names, eliminating that entire class of
+index-bookkeeping bugs.
+
+Initialization matches torch semantics: Linear default U(+/-1/sqrt(fan_in))
+for weights and biases; siren trunks override weights with
+sine_init / first_layer_sine_init (nerf.py:9-21).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.encoding import positional_encoding
+from ..ops.compositing import l2_normalize
+
+
+# ---------------------------------------------------------------- init utils
+
+def _torch_linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(k1, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(k2, (fan_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def _sine_reinit_w(key, p, first: bool):
+    """sine_init / first_layer_sine_init (weights only, nerf.py:9-21)."""
+    fan_in = p["w"].shape[0]
+    bound = (1.0 / fan_in) if first else math.sqrt(6.0 / fan_in)
+    w = jax.random.uniform(key, p["w"].shape, p["w"].dtype, -bound, bound)
+    return {"w": w, "b": p["b"]}
+
+
+def _init_mlp(key, sizes, siren_weights: bool = False):
+    """List of linear layers sized by consecutive pairs in `sizes`."""
+    keys = jax.random.split(key, 2 * (len(sizes) - 1))
+    layers = []
+    for i in range(len(sizes) - 1):
+        p = _torch_linear_init(keys[2 * i], sizes[i], sizes[i + 1])
+        if siren_weights:
+            p = _sine_reinit_w(keys[2 * i + 1], p, first=(i == 0))
+        layers.append(p)
+    return layers
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+# -------------------------------------------------------------- activations
+
+def _act(cfg: ModelConfig, x, first: bool = False):
+    if cfg.siren:
+        w0 = 30.0 if first else 1.0          # nerf.py:23-33,191
+        return jnp.sin(w0 * x)
+    return jax.nn.relu(x)
+
+
+# ------------------------------------------------------------------- factory
+
+def model_config_for_variant(variant: str, **overrides) -> ModelConfig:
+    """Mirror models/__init__.py:load_model defaults per variant."""
+    base: Dict = dict(variant=variant)
+    if variant == "nerf":
+        base.update(mapping=True, siren=False)           # NeRF class defaults
+    elif variant == "s-nerf":
+        base.update(siren=True, sun_v="learned", indirect_light=True)
+    elif variant in ("sat-nerf", "sps-nerf"):
+        base.update(siren=True, sun_v="learned", indirect_light=True,
+                    beta=True)
+    elif variant == "spsbrdf-nerf":
+        base.update(siren=True)
+    else:
+        raise ValueError(f"model {variant} is not valid")
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+def init_network(key, cfg: ModelConfig) -> Dict:
+    feat = cfg.feat
+    xyz_in = cfg.xyz_in_dim
+    dir_in = cfg.dir_in_dim
+    keys = iter(jax.random.split(key, 16))
+
+    # trunk: Linear(xyz_in, feat) then layers-1 more, skip layers widen input
+    params: Dict = {}
+    trunk = []
+    tk = jax.random.split(next(keys), 2 * cfg.layers)
+    for i in range(cfg.layers):
+        in_sz = xyz_in if i == 0 else (feat + xyz_in if i in cfg.skips else feat)
+        p = _torch_linear_init(tk[2 * i], in_sz, feat)
+        if cfg.siren:
+            p = _sine_reinit_w(tk[2 * i + 1], p, first=(i == 0))
+        trunk.append(p)
+    params["fc_net"] = trunk
+
+    params["sigma_from_xyz"] = _init_mlp(next(keys), [feat, 1])
+    params["feats_from_xyz"] = _init_mlp(next(keys), [feat, feat])
+    params["rgb_from_xyzdir"] = _init_mlp(next(keys), [feat + dir_in, feat // 2, 3])
+
+    uses_sun_v_net = (cfg.sun_v == "learned"
+                      or cfg.variant in ("s-nerf", "sat-nerf", "sps-nerf"))
+    if uses_sun_v_net:
+        params["sun_v_net"] = _init_mlp(
+            next(keys), [feat + 3, feat // 2, feat // 2, feat // 2, 1],
+            siren_weights=cfg.siren)
+    if cfg.indirect_light or cfg.variant in ("s-nerf", "sat-nerf", "sps-nerf"):
+        params["sky_color"] = _init_mlp(next(keys), [3, feat // 2, 3])
+    if cfg.beta:
+        t_dim = cfg.t_embedding_tau
+        params["beta_from_xyz"] = _init_mlp(next(keys), [feat + t_dim, feat // 2, 1])
+    if cfg.normal in ("analystic_learned", "learned"):
+        params["grad_from_xyz"] = _init_mlp(next(keys), [feat, 3])
+    if cfg.roughness:
+        params["roughness_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, 1])
+    if cfg.func_m:
+        params["k_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
+    if cfg.func_f:
+        params["theta_rpv_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
+    if cfg.func_h:
+        params["rhoc_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
+    if cfg.hapke_b:
+        params["b_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, 1])
+    if cfg.hapke_c:
+        params["c_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, 1])
+    if cfg.hapke_theta:
+        params["theta_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, 1])
+    return params
+
+
+def init_t_embedding(key, vocab: int, dim: int):
+    """Transient per-image embedding, torch.nn.Embedding default N(0,1)
+    (main.py:115)."""
+    return jax.random.normal(key, (vocab, dim))
+
+
+# ------------------------------------------------------------------ forward
+
+def _trunk_features(params, cfg: ModelConfig, xyz):
+    """Encoded xyz -> shared features (calc_features, spsbrdfnerf.py:636-646)."""
+    enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping else xyz
+    h = enc
+    for i, layer in enumerate(params["fc_net"]):
+        if i in cfg.skips:
+            h = jnp.concatenate([enc, h], axis=-1)
+        h = _act(cfg, _linear(layer, h), first=(i == 0))
+    return h
+
+
+def _head(params, cfg: ModelConfig, name, x, final=None, act_relu=False):
+    """Apply an MLP head: hidden layers use the model activation
+    (or ReLU for sky_color, snerf.py:135-140), final optional nonlinearity."""
+    layers = params[name]
+    h = x
+    for i, layer in enumerate(layers):
+        h = _linear(layer, h)
+        if i < len(layers) - 1:
+            h = jax.nn.relu(h) if act_relu else _act(cfg, h, first=False)
+    if final == "sigmoid":
+        h = jax.nn.sigmoid(h)
+    elif final == "softplus":
+        h = jax.nn.softplus(h)
+    return h
+
+
+def _sun_v_head(params, cfg: ModelConfig, feats, sun_d):
+    """sun_v_net: first activation is Siren(w0=1) when siren (snerf.py:126-131)."""
+    x = jnp.concatenate([feats, sun_d], axis=-1)
+    layers = params["sun_v_net"]
+    h = x
+    for i, layer in enumerate(layers):
+        h = _linear(layer, h)
+        if i < len(layers) - 1:
+            h = _act(cfg, h, first=False)
+    return jax.nn.sigmoid(h)
+
+
+def sigma_fn(params, cfg: ModelConfig, xyz):
+    """Density only (sigma_only=True fast path, spsbrdfnerf.py:682-685)."""
+    feats = _trunk_features(params, cfg, xyz)
+    return _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
+
+
+def analytic_normals(params, cfg: ModelConfig, xyz):
+    """-normalize(grad_xyz sigma): exact analog of calc_normals
+    (spsbrdfnerf.py:648-660) expressed as jax.grad of the summed density —
+    valid because sigma at a point depends only on that point's xyz, and
+    differentiable end-to-end (grad-of-grad handled by JAX)."""
+    grad = jax.grad(lambda x: jnp.sum(sigma_fn(params, cfg, x)))(xyz)
+    return -l2_normalize(grad)
+
+
+def apply_network(params, cfg: ModelConfig, xyz,
+                  dirs: Optional[jnp.ndarray] = None,
+                  sun_d: Optional[jnp.ndarray] = None,
+                  t_emb: Optional[jnp.ndarray] = None,
+                  apply_brdf: bool = False,
+                  apply_theta: bool = False,
+                  nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
+    """Full forward over flat points xyz (..., 3). Returns named heads.
+
+    Head semantics match SpSBRDFNeRF.forward (spsbrdfnerf.py:662-757):
+    rgb/albedo sigmoid; sun_v sigmoid; sky sigmoid; beta softplus;
+    RPV k in [0,2], theta_rpv in [-1,1], rhoc in [0,1] (tiled 1->3 when
+    dim_rpv==1); hapke b,c in [0,1]; hapke theta in [0, 30deg].
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    feats = _trunk_features(params, cfg, xyz)
+    out["sigma"] = _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
+
+    xyz_features = _linear(params["feats_from_xyz"][0], feats)
+    if cfg.input_sizes[1] > 0 and dirs is not None:
+        enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1])
+                   if cfg.mapping else dirs)
+        rgb_in = jnp.concatenate([xyz_features, enc_dir], axis=-1)
+    else:
+        rgb_in = xyz_features
+    out["rgb"] = _head(params, cfg, "rgb_from_xyzdir", rgb_in, final="sigmoid")
+
+    if "sun_v_net" in params and sun_d is not None:
+        out["sun_v"] = _sun_v_head(params, cfg, xyz_features, sun_d)
+    if "sky_color" in params and sun_d is not None:
+        out["sky"] = _head(params, cfg, "sky_color", sun_d, final="sigmoid",
+                           act_relu=True)
+    if cfg.beta and t_emb is not None:
+        beta_in = jnp.concatenate([xyz_features, t_emb], axis=-1)
+        out["beta"] = _head(params, cfg, "beta_from_xyz", beta_in, final="softplus")
+    if nr_lr and "grad_from_xyz" in params:
+        grad_lr = _linear(params["grad_from_xyz"][0], feats)
+        out["normal_lr"] = -l2_normalize(grad_lr)
+
+    if apply_brdf:
+        def tile3(v):
+            return jnp.tile(v, (1,) * (v.ndim - 1) + (3,)) if v.shape[-1] == 1 else v
+        if cfg.roughness:
+            out["roughness"] = _head(params, cfg, "roughness_from_xyz",
+                                     xyz_features, final="sigmoid")
+        elif cfg.rpv:
+            if cfg.func_m:
+                k = _head(params, cfg, "k_from_xyz", xyz_features, final="sigmoid")
+                out["rpv_k"] = tile3((k - 0.5) * 2.0 + 1.0)        # [0, 2]
+            if cfg.func_f:
+                th = _head(params, cfg, "theta_rpv_from_xyz", xyz_features,
+                           final="sigmoid")
+                out["rpv_theta"] = tile3((th - 0.5) * 2.0)          # [-1, 1]
+            if cfg.func_h:
+                rc = _head(params, cfg, "rhoc_from_xyz", xyz_features,
+                           final="sigmoid")
+                out["rpv_rhoc"] = tile3(rc)                          # [0, 1]
+        else:
+            if cfg.hapke_b:
+                b = _head(params, cfg, "b_from_xyz", xyz_features, final="sigmoid")
+                out["hpk_b"] = tile3(b)
+            if cfg.hapke_c:
+                c = _head(params, cfg, "c_from_xyz", xyz_features, final="sigmoid")
+                out["hpk_c"] = tile3(c)
+            if apply_theta and cfg.hapke_theta:
+                th = _head(params, cfg, "theta_from_xyz", xyz_features,
+                           final="sigmoid")
+                out["hpk_theta"] = th * (math.pi * 30.0 / 180.0)     # [0, 30deg]
+    return out

@@ -1,0 +1,142 @@
+"""Ray samplers: stratified, inverse-CDF importance, Gaussian guided.
+
+Behavioral contract is the reference's sampler suite (rendering.py:13-166)
+re-expressed with static shapes, explicit PRNG keys, and no boolean
+indexing, so the whole pipeline stays inside one jitted program:
+
+  * stratified_z_vals       <- get_z_vals            (rendering.py:149-166)
+  * sample_pdf              <- sample_pdf            (rendering.py:13-52)
+  * sample_gaussian_3sigma  <- sample_3sigma         (rendering.py:54-74)
+  * sample_gaussian_3sigma_sym <- sample_3sigma_asym (rendering.py:76-91)
+  * samples_around_depth    <- compute_samples_around_depth (rendering.py:116-130)
+  * guided_samples          <- GenerateGuidedSamples (rendering.py:132-147);
+    the data-dependent valid-depth swap becomes a jnp.where mask.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .compositing import depth_std
+
+
+def stratified_z_vals(key, n_samples: int, near, far,
+                      use_disp: bool = False, perturb: float = 1.0):
+    """Linear (or disparity-linear) depths near->far with jittered midpoints.
+
+    near/far: (N_rays, 1). Returns (N_rays, n_samples).
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    if not use_disp:
+        z = near * (1.0 - t) + far * t
+    else:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    if perturb > 0:
+        mid = 0.5 * (z[:, :-1] + z[:, 1:])
+        upper = jnp.concatenate([mid, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mid], axis=-1)
+        u = perturb * jax.random.uniform(key, z.shape, dtype=z.dtype)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def sample_pdf(key, bins, weights, n_importance: int,
+               det: bool = False, eps: float = 1e-5):
+    """Inverse-CDF sampling of a histogram.
+
+    bins: (N, B+1) edges; weights: (N, B). Returns (N, n_importance).
+    """
+    n_rays, n_bins = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, B+1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (n_rays, n_importance))
+    else:
+        u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, None)
+    above = jnp.clip(inds, None, n_bins)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bins never sampled
+    return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)
+
+
+def sample_gaussian_3sigma(key, low, high, n: int, det: bool,
+                           d_range: float = 3.0, eps: float = 1e-5):
+    """N samples under a Gaussian spanning [low, high] (= mu +/- d_range*sigma).
+
+    low/high: (N_rays,). Returns sorted (N_rays, n).
+    """
+    t = jnp.linspace(0.0, 1.0, n, dtype=low.dtype)
+    step = (high - low) / (n - 1)                       # (N_rays,)
+    edges = low[:, None] * (1.0 - t) + high[:, None] * t  # (N_rays, n)
+    factor = (edges[:, 1:] - edges[:, :-1]) / (step[:, None] + eps)
+    x = jnp.linspace(-d_range, d_range, n - 1, dtype=low.dtype)
+    gauss = (1.0 / math.sqrt(2.0 * math.pi)) * jnp.exp(-0.5 * x * x)
+    w = factor * gauss[None, :]
+    res = sample_pdf(key, edges, w, n, det=det)
+    return jnp.sort(res, axis=-1)
+
+
+def sample_gaussian_3sigma_sym(key, depth, low, high, n: int, det: bool,
+                               near, far, d_range: float = 3.0):
+    """Symmetrize the band about `depth` (min one-sided range) then sample.
+
+    depth/low/high: (N_rays,). near/far: scalars.
+    """
+    low = jnp.clip(low, near, far)
+    high = jnp.clip(high, near, far)
+    rng = jnp.minimum(jnp.abs(high - depth), jnp.abs(low - depth))
+    return sample_gaussian_3sigma(key, depth - rng, depth + rng, n, det,
+                                  d_range=d_range)
+
+
+def samples_around_depth(key, pred_depth, pred_weight, z_vals, n: int,
+                         det: bool, near, far, d_range: float = 3.0):
+    """Gaussian band centered on the predicted depth with predicted std."""
+    std = depth_std(z_vals, pred_depth, pred_weight)
+    std = jnp.nan_to_num(std)
+    pred_depth = jnp.nan_to_num(pred_depth)
+    return sample_gaussian_3sigma_sym(
+        key, pred_depth, pred_depth - d_range * std, pred_depth + d_range * std,
+        n, det, near, far, d_range=d_range)
+
+
+def guided_samples(key, pred_depth, pred_weight, z_vals, n: int, near, far,
+                   train: bool = False, valid_depth=None, target_depth=None,
+                   target_std=None, d_range: float = 3.0, perturb: float = 1.0):
+    """Guided z-samples; at train time rays with valid GT depth get
+    GT-centered Gaussians instead (reference swaps rows by boolean index,
+    rendering.py:135-145 — here a where-mask over identically-shaped draws).
+
+    NOTE (behavioral quirk preserved): in the reference's production loader
+    the effective target_std is identically 0 (satellite_rgb_dep.py:407-408,539),
+    which collapses GT-guided samples onto the exact MicMac depth.  The math
+    below reproduces that limit exactly when target_std == 0.
+    """
+    det = perturb == 0.0
+    k1, k2 = jax.random.split(key)
+    z2 = samples_around_depth(k1, pred_depth, pred_weight, z_vals, n, det,
+                              near, far, d_range=d_range)
+    if train and valid_depth is not None:
+        lo = target_depth - d_range * target_std
+        hi = target_depth + d_range * target_std
+        gt = sample_gaussian_3sigma_sym(k2, target_depth, lo, hi, n, det,
+                                        near, far, d_range=d_range)
+        mask = (valid_depth > 0)[:, None]
+        z2 = jnp.where(mask, gt, z2)
+    return z2

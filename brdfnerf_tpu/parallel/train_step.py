@@ -1,0 +1,220 @@
+"""Jitted, mesh-sharded train / render steps.
+
+The whole reference training_step (main.py:194-353) — render (3 MLP passes),
+all losses, schedule gating, optimizer update — compiles to ONE XLA program.
+Dynamic schedule gates (step comparisons) enter as booleans and select loss
+terms with jnp.where; gates that change program structure (apply_brdf /
+apply_theta / gsam_only) are static in RenderConfig and the trainer swaps
+between at most three compiled specializations across a run.
+
+Sharding: batch arrays split on axis 0 over the 'data' mesh axis; params and
+optimizer state replicated; XLA's SPMD partitioner inserts the gradient
+all-reduce over ICI because the loss is a mean over the global batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, RenderConfig, TrainConfig
+from ..models.network import init_network, init_t_embedding
+from ..render.render import render_rays, RenderInputs
+from .. import losses as L
+from ..metrics import psnr as psnr_metric
+
+
+class TrainGates(NamedTuple):
+    """Dynamic (traced) schedule gates, all boolean scalars; computed from
+    train_steps vs fraction*max_steps like main.py:60-63,202-230."""
+    cos_irra_on: jnp.ndarray      # train_steps > cos_irra_on
+    ds_on: jnp.ndarray            # train_steps < ds_drop
+    nrrg_on: jnp.ndarray          # train_steps > nrrg_on
+    beta_warmup: jnp.ndarray      # epoch < first_beta_epoch -> loss w/o beta
+    hs_on: jnp.ndarray            # epoch > 2
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
+    """Adam + per-epoch StepLR gamma=0.9 (main.py:147-168,
+    train_utils.py:153-155), as an optax exponential staircase."""
+    sched = optax.exponential_decay(
+        init_value=tcfg.lr, transition_steps=max(1, steps_per_epoch),
+        decay_rate=tcfg.lr_gamma, staircase=True)
+    return optax.adam(learning_rate=sched), sched
+
+
+def create_train_state(key, mcfg: ModelConfig, tcfg: TrainConfig,
+                       steps_per_epoch: int, n_importance: int = 0):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params: Dict[str, Any] = {"coarse": init_network(k1, mcfg)}
+    if n_importance > 0:
+        params["fine"] = init_network(k2, mcfg)
+    if mcfg.beta:
+        params["t"] = init_t_embedding(k3, mcfg.t_embedding_vocab,
+                                       mcfg.t_embedding_tau)
+    opt, _ = make_optimizer(tcfg, steps_per_epoch)
+    opt_state = opt.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), opt
+
+
+def compute_losses(params, mcfg: ModelConfig, rcfg: RenderConfig,
+                   tcfg: TrainConfig, batch: Dict, key,
+                   gates: TrainGates):
+    """Full loss of one batch (training_step semantics, main.py:230-327)."""
+    inp = RenderInputs(
+        rays=batch["rays"], ts=batch.get("ts"),
+        valid_depth=batch.get("valid_depth"),
+        target_depths=batch.get("depths"),
+        target_std=batch.get("depth_std"),
+        cos_irra_on=gates.cos_irra_on)
+    results = render_rays(params, mcfg, rcfg, inp, key, train=True)
+    rgbs = batch["rgbs"]
+    typ = "fine" if "rgb_fine" in results else "coarse"
+    terms: Dict[str, jnp.ndarray] = {}
+
+    # color loss; beta warmup uses the SNerf (no-beta) loss (main.py:237-238)
+    loss_fn = L.load_loss(mcfg.variant, mcfg.beta, tcfg.sc_lambda,
+                          tcfg.lambda_rgb)
+    color_loss, d = loss_fn(results, rgbs)
+    if mcfg.beta and mcfg.variant in ("sat-nerf", "sps-nerf"):
+        warm_loss, d_warm = L.snerf_loss(results, rgbs,
+                                         lambda_sc=tcfg.sc_lambda)
+        color_loss = jnp.where(gates.beta_warmup, warm_loss, color_loss)
+    loss = color_loss
+    terms.update(d)
+
+    # depth supervision (main.py:248-265), dropped after ds_drop
+    if tcfg.ds_lambda > 0 and "depths" in batch:
+        kp_depths = batch["depths"][:, 0]
+        kp_weights = (jnp.ones_like(batch["depths"][:, 1])
+                      if tcfg.ds_noweights else batch["depths"][:, 1])
+        dloss, d = L.depth_loss(
+            results, kp_depths, kp_weights,
+            valid_depth=batch.get("valid_depth"),
+            target_std=batch.get("depth_std"),
+            lambda_ds=tcfg.ds_lambda, gnll=tcfg.gnll,
+            usealldepth=tcfg.usealldepth,
+            subset=(mcfg.variant != "sat-nerf"))
+        loss = loss + jnp.where(gates.ds_on, dloss, 0.0)
+        terms.update(d)
+
+    perc_bad_nr = jnp.asarray(-1.0)
+    if mcfg.variant == "spsbrdf-nerf":
+        # normal regularization after nrrg_on (main.py:270-285)
+        if tcfg.nr_reg_an_lambda > 0 and f"normal_an_{typ}" in results:
+            lr, d, perc_bad_nr = L.normal_reg_loss(
+                results, tcfg.nr_reg_an_lambda, "normal_an")
+            loss = loss + jnp.where(gates.nrrg_on, lr, 0.0)
+            terms.update(d)
+        if tcfg.nr_reg_lr_lambda > 0 and f"normal_lr_{typ}" in results:
+            lr, d, perc_bad_nr = L.normal_reg_loss(
+                results, tcfg.nr_reg_lr_lambda, "normal_lr")
+            loss = loss + jnp.where(gates.nrrg_on, lr, 0.0)
+            terms.update(d)
+        # normal supervision by nr_spv_type (main.py:301-327)
+        if abs(tcfg.nr_spv_lambda) > 1e-5:
+            w = results[f"weights_{typ}"]
+            if tcfg.nr_spv_type == 1 and f"normal_lr_{typ}" in results \
+                    and f"normal_an_{typ}" in results:
+                ln, d = L.normal_loss(w, results[f"normal_an_{typ}"],
+                                      results[f"normal_lr_{typ}"],
+                                      tcfg.nr_spv_lambda, keyword="an_lr")
+                loss = loss + ln
+                terms.update(d)
+            elif tcfg.nr_spv_type == 2 and f"normal_lr_{typ}" in results \
+                    and "normals" in batch:
+                ln, d = L.normal_loss(w, batch["normals"],
+                                      results[f"normal_lr_{typ}"],
+                                      tcfg.nr_spv_lambda, keyword="lr")
+                loss = loss + ln
+                terms.update(d)
+            elif tcfg.nr_spv_type == 3 and f"normal_an_{typ}" in results \
+                    and "normals" in batch:
+                ln, d = L.normal_loss(
+                    w, batch["normals"], results[f"normal_an_{typ}"],
+                    tcfg.nr_spv_lambda,
+                    target_weight=batch.get("valid_normal"),
+                    valid_depth=batch.get("valid_depth"), keyword="an")
+                loss = loss + ln
+                terms.update(d)
+
+    # hard-surface after epoch 2 (main.py:290-299)
+    if tcfg.hs_lambda > 0:
+        hl, d = L.hard_surface_loss(results, tcfg.hs_lambda)
+        loss = loss + jnp.where(gates.hs_on, hl, 0.0)
+        terms.update(d)
+
+    aux = {
+        "psnr": psnr_metric(results[f"rgb_{typ}"], rgbs),
+        "perc_bad_nr": perc_bad_nr,
+        "depth_std_mean": jnp.mean(
+            jnp.sqrt(jnp.sum((results[f"z_vals_{typ}"]
+                              - results[f"depth_{typ}"][..., None]) ** 2
+                             * results[f"weights_{typ}"], axis=-1))),
+    }
+    if f"irradiance_{typ}" in results:
+        aux["irradiance"] = jnp.mean(results[f"irradiance_{typ}"])
+    return loss, (terms, aux)
+
+
+def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
+                    optimizer, mesh=None, donate: bool = True):
+    """Build the jitted train step. With a mesh, batch is sharded on axis 0
+    and params replicated (SPMD gradient all-reduce over ICI)."""
+
+    def step_fn(state: TrainState, batch: Dict, key, gates: TrainGates):
+        def loss_fn(params):
+            return compute_losses(params, mcfg, rcfg, tcfg, batch, key, gates)
+
+        (loss, (terms, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def shard_like_batch(batch):
+        return jax.tree_util.tree_map(
+            lambda x: data if getattr(x, "ndim", 0) >= 1 else repl, batch)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_render_step(mcfg: ModelConfig, rcfg: RenderConfig, mesh=None,
+                     train: bool = False):
+    """Jitted inference over a ray batch (eval / full-image rendering);
+    rays shard over the mesh so full images render in parallel with no host
+    round-trips per chunk (replaces eval.py:56-76 batched_inference)."""
+
+    def fn(params, inp: RenderInputs, key):
+        return render_rays(params, mcfg, rcfg, inp, key, train=train)
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(fn, in_shardings=(repl, data, repl))

@@ -1,0 +1,122 @@
+"""Unit tests for encoding / sampling / compositing vs NumPy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brdfnerf_tpu.ops import (
+    positional_encoding, composite, depth_std, stratified_z_vals, sample_pdf,
+    sample_gaussian_3sigma, guided_samples,
+)
+from brdfnerf_tpu.ops.compositing import l2_normalize
+
+
+def test_positional_encoding_matches_reference_layout():
+    """Identity term excluded; per-freq [sin, cos] blocks (nerf.py:36-70)."""
+    x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    n_freqs = 4
+    enc = np.asarray(positional_encoding(jnp.asarray(x), n_freqs))
+    assert enc.shape == (5, 2 * n_freqs * 3)
+    expected = []
+    for k in range(n_freqs):
+        f = 2.0 ** k
+        expected.append(np.sin(f * x))
+        expected.append(np.cos(f * x))
+    expected = np.concatenate(expected, axis=-1)
+    np.testing.assert_allclose(enc, expected, rtol=1e-6)
+
+
+def test_composite_single_slab_analytic():
+    """One opaque slab: alpha = 1 - exp(-sigma*delta), T telescopes."""
+    z = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    sigma = jnp.asarray([[0.0, 2.0, 0.0, 0.0]])
+    alphas, transparency, weights, depth = composite(z, sigma)
+    a = 1.0 - np.exp(-2.0 * 1.0)
+    np.testing.assert_allclose(alphas[0, 1], a, rtol=1e-6)
+    np.testing.assert_allclose(transparency[0, 0], 1.0)
+    np.testing.assert_allclose(transparency[0, 2], (1 - a) + 1e-10, rtol=1e-5)
+    np.testing.assert_allclose(weights[0, 1], a, rtol=1e-6)
+
+
+def test_composite_weights_sum_to_one_for_opaque():
+    z = jnp.linspace(0, 1, 32)[None].repeat(4, 0)
+    sigma = 1e4 * jnp.ones((4, 32))
+    _, _, w, _ = composite(z, sigma)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_stratified_z_vals_bounds_and_monotonic():
+    key = jax.random.PRNGKey(0)
+    near = jnp.full((16, 1), 2.0)
+    far = jnp.full((16, 1), 6.0)
+    z = stratified_z_vals(key, 64, near, far)
+    z = np.asarray(z)
+    assert z.shape == (16, 64)
+    assert (np.diff(z, axis=-1) >= 0).all()
+    assert (z >= 2.0 - 1e-5).all() and (z <= 6.0 + 1e-5).all()
+
+
+def test_sample_pdf_uniform_det_recovers_linspace():
+    """Uniform weights + det => evenly spaced quantiles of the bin range."""
+    bins = jnp.linspace(0, 1, 9)[None].repeat(3, 0)
+    w = jnp.ones((3, 8))
+    s = sample_pdf(jax.random.PRNGKey(0), bins, w, 5, det=True)
+    np.testing.assert_allclose(np.asarray(s[0]),
+                               np.linspace(0, 1, 5), atol=1e-5)
+
+
+def test_sample_pdf_concentrates_on_heavy_bin():
+    bins = jnp.linspace(0, 1, 11)[None].repeat(2, 0)
+    w = jnp.zeros((2, 10)).at[:, 5].set(1.0)
+    s = sample_pdf(jax.random.PRNGKey(1), bins, w, 256, det=False)
+    s = np.asarray(s)
+    frac_in_bin = ((s >= 0.5) & (s <= 0.6)).mean()
+    assert frac_in_bin > 0.95
+
+
+def test_sample_gaussian_3sigma_centered_and_sorted():
+    key = jax.random.PRNGKey(2)
+    low = jnp.full((8,), -3.0)
+    high = jnp.full((8,), 3.0)
+    s = np.asarray(sample_gaussian_3sigma(key, low, high, 128, det=False))
+    assert (np.diff(s, axis=-1) >= 0).all()
+    assert abs(s.mean()) < 0.2
+    assert 0.7 < s.std() < 1.3  # ~N(0,1) truncated at 3 sigma
+
+
+def test_guided_samples_gt_delta_behavior():
+    """target_std == 0 collapses guided samples to the GT depth exactly
+    (the preserved reference quirk, satellite_rgb_dep.py:407-408,539)."""
+    key = jax.random.PRNGKey(3)
+    n_rays = 4
+    z_vals = jnp.linspace(0.0, 1.0, 32)[None].repeat(n_rays, 0)
+    w = jnp.ones((n_rays, 32)) / 32.0
+    depth = jnp.full((n_rays,), 0.5)
+    tgt = jnp.asarray([0.3, 0.4, 0.5, 0.6])
+    z2 = guided_samples(key, depth, w, z_vals, 16, 0.0, 1.0, train=True,
+                        valid_depth=jnp.asarray([1, 1, 0, 1]),
+                        target_depth=tgt, target_std=jnp.zeros(n_rays))
+    z2 = np.asarray(z2)
+    np.testing.assert_allclose(z2[0], 0.3, atol=1e-5)
+    np.testing.assert_allclose(z2[1], 0.4, atol=1e-5)
+    np.testing.assert_allclose(z2[3], 0.6, atol=1e-5)
+    # invalid ray keeps prediction-centered (non-degenerate) samples
+    assert z2[2].std() > 1e-4
+
+
+def test_depth_std_matches_numpy():
+    rs = np.random.RandomState(0)
+    z = rs.rand(6, 16).astype(np.float32)
+    w = rs.rand(6, 16).astype(np.float32)
+    d = (z * w).sum(-1)
+    ref = np.sqrt((((z - d[:, None]) ** 2) * w).sum(-1))
+    out = np.asarray(depth_std(jnp.asarray(z), jnp.asarray(d), jnp.asarray(w)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_l2_normalize_unit_and_safe_at_zero():
+    x = jnp.asarray([[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]])
+    y = np.asarray(l2_normalize(x))
+    np.testing.assert_allclose(np.linalg.norm(y[0]), 1.0, rtol=1e-6)
+    assert np.isfinite(y).all()
