@@ -97,6 +97,111 @@ def projection(rpc: RPCModel, lon, lat, alt):
     return ncol * rpc.col_scale + rpc.col_offset, nrow * rpc.row_scale + rpc.row_offset
 
 
+def _poly20_np(c, x, y, z):
+    """Float64 NumPy twin of _poly20 for host-side ingestion."""
+    import numpy as np  # local: keep jnp the default in this module
+    c = np.asarray(c, dtype=np.float64)
+    return (c[0]
+            + c[1] * y + c[2] * x + c[3] * z
+            + c[4] * y * x + c[5] * y * z + c[6] * x * z
+            + c[7] * y * y + c[8] * x * x + c[9] * z * z
+            + c[10] * x * y * z
+            + c[11] * y * y * y
+            + c[12] * y * x * x + c[13] * y * z * z + c[14] * y * y * x
+            + c[15] * x * x * x
+            + c[16] * x * z * z + c[17] * y * y * z + c[18] * x * x * z
+            + c[19] * z * z * z)
+
+
+def _poly20_np_dx(c, x, y, z):
+    """d/dx (x = nlat) of the RPC00B cubic."""
+    import numpy as np
+    c = np.asarray(c, dtype=np.float64)
+    return (c[2] + c[4] * y + c[6] * z + 2.0 * c[8] * x + c[10] * y * z
+            + 2.0 * c[12] * y * x + c[14] * y * y + 3.0 * c[15] * x * x
+            + c[16] * z * z + 2.0 * c[18] * x * z)
+
+
+def _poly20_np_dy(c, x, y, z):
+    """d/dy (y = nlon) of the RPC00B cubic."""
+    import numpy as np
+    c = np.asarray(c, dtype=np.float64)
+    return (c[1] + c[4] * x + c[5] * z + 2.0 * c[7] * y + c[10] * x * z
+            + 3.0 * c[11] * y * y + c[12] * x * x + c[13] * z * z
+            + 2.0 * c[14] * y * x + c[17] * 2.0 * y * z)
+
+
+def projection_np(rpc: RPCModel, lon, lat, alt):
+    """Float64 host-side projection (dataset ingestion / DSM eval paths,
+    where |UTM| ~ 5e6 m exceeds float32; matches rpcm.projection)."""
+    import numpy as np
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    alt = np.asarray(alt, np.float64)
+    nlon = (lon - float(rpc.lon_offset)) / float(rpc.lon_scale)
+    nlat = (lat - float(rpc.lat_offset)) / float(rpc.lat_scale)
+    nalt = (alt - float(rpc.alt_offset)) / float(rpc.alt_scale)
+    ncol = (_poly20_np(rpc.col_num, nlat, nlon, nalt)
+            / _poly20_np(rpc.col_den, nlat, nlon, nalt))
+    nrow = (_poly20_np(rpc.row_num, nlat, nlon, nalt)
+            / _poly20_np(rpc.row_den, nlat, nlon, nalt))
+    return (ncol * float(rpc.col_scale) + float(rpc.col_offset),
+            nrow * float(rpc.row_scale) + float(rpc.row_offset))
+
+
+def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
+                    tol: float = 1e-12):
+    """Float64 host-side inverse RPC: (col, row, alt) -> (lon, lat) degrees.
+
+    Vectorized Newton over all pixels at once with the analytic 2x2
+    Jacobian of the rational polynomials; replaces rpcm.localization in the
+    ingestion hot loop (satellite_rgb_dep.py:46-61 semantics) at sub-1e-9
+    normalized accuracy.
+    """
+    import numpy as np
+    col = np.atleast_1d(np.asarray(col, np.float64))
+    row = np.atleast_1d(np.asarray(row, np.float64))
+    alt = np.broadcast_to(np.asarray(alt, np.float64), col.shape)
+    tc = (col - float(rpc.col_offset)) / float(rpc.col_scale)
+    tr = (row - float(rpc.row_offset)) / float(rpc.row_scale)
+    z = (alt - float(rpc.alt_offset)) / float(rpc.alt_scale)
+
+    cn = np.asarray(rpc.col_num, np.float64)
+    cd = np.asarray(rpc.col_den, np.float64)
+    rn = np.asarray(rpc.row_num, np.float64)
+    rd = np.asarray(rpc.row_den, np.float64)
+
+    x = np.zeros_like(tc)   # nlat
+    y = np.zeros_like(tc)   # nlon
+    for _ in range(iters):
+        ncn = _poly20_np(cn, x, y, z)
+        ncd = _poly20_np(cd, x, y, z)
+        nrn = _poly20_np(rn, x, y, z)
+        nrd = _poly20_np(rd, x, y, z)
+        fc = ncn / ncd - tc
+        fr = nrn / nrd - tr
+        # quotient-rule Jacobian entries
+        j_cx = (_poly20_np_dx(cn, x, y, z) * ncd
+                - ncn * _poly20_np_dx(cd, x, y, z)) / (ncd * ncd)
+        j_cy = (_poly20_np_dy(cn, x, y, z) * ncd
+                - ncn * _poly20_np_dy(cd, x, y, z)) / (ncd * ncd)
+        j_rx = (_poly20_np_dx(rn, x, y, z) * nrd
+                - nrn * _poly20_np_dx(rd, x, y, z)) / (nrd * nrd)
+        j_ry = (_poly20_np_dy(rn, x, y, z) * nrd
+                - nrn * _poly20_np_dy(rd, x, y, z)) / (nrd * nrd)
+        det = j_cy * j_rx - j_cx * j_ry
+        det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+        dy = (fc * j_rx - fr * j_cx) / det   # nlon update
+        dx = (fr * j_cy - fc * j_ry) / det   # nlat update
+        y = y - dy
+        x = x - dx
+        if max(np.max(np.abs(dy)), np.max(np.abs(dx))) < tol:
+            break
+    lon = y * float(rpc.lon_scale) + float(rpc.lon_offset)
+    lat = x * float(rpc.lat_scale) + float(rpc.lat_offset)
+    return lon, lat
+
+
 def localization(rpc: RPCModel, col, row, alt, iters: int = 12):
     """Image (col, row) at altitude alt (m) -> ground (lon, lat) degrees.
 

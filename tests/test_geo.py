@@ -91,8 +91,9 @@ def test_rpc_projection_affine_oracle():
     rpc = _affine_rpc()
     col, row = rpc_mod.projection(rpc, jnp.asarray(2.05), jnp.asarray(47.95),
                                   jnp.asarray(100.0))
-    np.testing.assert_allclose(float(col), 1000.0 + 5000.0 * 0.5, rtol=1e-6)
-    np.testing.assert_allclose(float(row), 1000.0 + 5000.0 * 0.5, rtol=1e-6)
+    # float32 eval of the rational polynomial: ~1e-5 relative rounding
+    np.testing.assert_allclose(float(col), 1000.0 + 5000.0 * 0.5, rtol=5e-5)
+    np.testing.assert_allclose(float(row), 1000.0 + 5000.0 * 0.5, rtol=5e-5)
 
 
 def test_rpc_localization_inverts_projection():
