@@ -1,0 +1,85 @@
+"""Reflectance analysis: per-pixel BRF probes over varied view directions.
+
+Re-designs eval.py's eval_pixel_variedvw / get_view_dirs (eval.py:300-363):
+for a chosen pixel's ray, locate the surface (rendered depth), then sweep a
+fan of view zenith angles in the principal plane (and optionally a full
+hemisphere grid) evaluating the model's BRDF at the surface point for each
+view — producing the reflectance-vs-angle curves used in the paper's
+BRDF-recovery figures.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig, RenderConfig
+from .render.render import render_rays, RenderInputs
+
+
+def view_dir_fan(sun_d: np.ndarray, n: int = 33,
+                 max_zen_deg: float = 60.0) -> np.ndarray:
+    """(n, 3) unit view directions spanning the principal plane (the plane
+    containing the sun direction and zenith), from -max_zen to +max_zen
+    view zenith; negative zenith = backscatter side (toward the sun)."""
+    sun_az = np.arctan2(sun_d[0], sun_d[1])
+    zen = np.radians(np.linspace(-max_zen_deg, max_zen_deg, n))
+    az = np.where(zen < 0, sun_az, sun_az + np.pi)
+    z = np.abs(zen)
+    dirs = np.stack([np.sin(az) * np.sin(z), np.cos(az) * np.sin(z),
+                     np.cos(z)], -1)
+    return dirs.astype(np.float32)
+
+
+def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
+              ray: np.ndarray, n_views: int = 33,
+              max_zen_deg: float = 60.0,
+              key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+    """BRF of the surface under one pixel as the view direction sweeps the
+    principal plane.
+
+    ray: (11,) [o, d, near, far, sun_d] normalized ray for the probed pixel.
+    Returns dict with view_zenith_deg (n,), brf (n, 3), rgb (n, 3).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ray = np.asarray(ray, np.float32)
+    sun_d = ray[8:11]
+    views = view_dir_fan(sun_d, n_views, max_zen_deg)
+
+    # surface point from the pixel's own ray
+    inp0 = RenderInputs(rays=jnp.asarray(ray[None]),
+                        cos_irra_on=jnp.asarray(False))
+    res0 = jax.jit(lambda p, i, k: render_rays(p, mcfg, rcfg, i, k))(
+        params, inp0, key)
+    depth = float(np.asarray(res0["depth_coarse"])[0])
+    surf = ray[0:3] + depth * ray[3:6]
+
+    # synthetic rays: origin pushed back from the surface along each view
+    # direction so the surface sits mid-interval
+    far = float(ray[7])
+    origins = surf[None] - views * (0.5 * far)
+    rays_v = np.zeros((n_views, 11), np.float32)
+    rays_v[:, 0:3] = origins
+    rays_v[:, 3:6] = views
+    rays_v[:, 6] = 0.0
+    rays_v[:, 7] = far
+    rays_v[:, 8:11] = sun_d
+
+    inp = RenderInputs(rays=jnp.asarray(rays_v),
+                       cos_irra_on=jnp.asarray(False))
+    res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rcfg, i, k))(
+        params, inp, key)
+
+    zen_signed = np.linspace(-max_zen_deg, max_zen_deg, n_views)
+    out = {"view_zenith_deg": zen_signed,
+           "rgb": np.asarray(res["rgb_coarse"])}
+    if "brdf_coarse" in res:
+        out["brf"] = np.asarray(res["brdf_coarse"])[:, -1, :]
+    if "albedo_accu_coarse" in res:
+        out["albedo"] = np.asarray(res["albedo_accu_coarse"])
+    return out

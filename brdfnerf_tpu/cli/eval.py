@@ -1,0 +1,135 @@
+"""Evaluation CLI: python -m brdfnerf_tpu.cli.eval --logs_dir <logs/exp>
+--epoch_number N --split eval (reference eval.py:225-517 semantics).
+
+Reloads opts.json as the config source of truth (eval.py:228-229), loads
+the epoch checkpoint, renders every image of the requested split through
+the jitted chunked renderer, writes rgb/depth/DSM GeoTIFFs plus registered
+DSM diffs (rdsm/, rdsm_diff/), and prints mean PSNR / SSIM / DSM MAE.
+
+Gate semantics on eval: apply_brdf = (brdf_on < 1), apply_theta likewise,
+cos_irra = (cos_irra_on < 1) (eval.py:383-384).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict
+
+import numpy as np
+
+from . import opts as opts_mod
+
+
+def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
+             checkpoints_dir: str = None, output_dir: str = None) -> Dict:
+    import jax.numpy as jnp
+    from ..train import Trainer, TrainerPaths
+    from ..utils import checkpoint as ckpt
+    from ..utils.geotiff import write_geotiff, GeoProfile
+    from ..metrics import psnr as psnr_m, ssim as ssim_m
+    from ..geo import dsm as dsm_mod
+
+    args = opts_mod.load_opts(run_dir)
+    cfg = opts_mod.to_run_config(args)
+    out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.data == "blender":
+        from ..data.blender import BlenderDataset
+        val_ds = BlenderDataset(args.root_dir, split="val",
+                                img_wh=tuple(args.img_wh))
+        store = None
+    else:
+        from ..data.satellite import SatelliteConfig, SatelliteDataset
+        sat_cfg = SatelliteConfig(
+            root_dir=args.root_dir, img_dir=args.img_dir,
+            depth_subdir=args.inputdds, aoi_id=args.aoi_id, cs=args.cs,
+            img_downscale=args.img_downscale, scale=args.scale,
+            corrscale=args.corrscale, stdscale=args.stdscale,
+            margin=args.margin, mod_alt_bound=args.mod_alt_bound,
+            infile_postfix=args.infile_postfix,
+            std_quirk=bool(getattr(args, "std_quirk", 1)),
+            load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
+        val_ds = SatelliteDataset(sat_cfg, split="val")
+        store = None
+
+    ckpts_dir = checkpoints_dir or os.path.join(args.ckpts_dir, args.exp_name)
+    ckpt_path = os.path.join(ckpts_dir, f"epoch={epoch_number}.npz")
+    assert os.path.exists(ckpt_path), f"{ckpt_path} not found"
+
+    # trainer used purely as the render harness; params come from the ckpt
+    dummy_store = _dummy_store(val_ds)
+    paths = TrainerPaths(logs_dir=out_dir, ckpts_dir=ckpts_dir,
+                         gt_dir=args.gt_dir, aoi_id=args.aoi_id)
+    tr = Trainer(cfg, dummy_store, paths, val_dataset=val_ds, seed=0)
+    params = ckpt.restore_params(tr.state.params, ckpt_path)
+    tr.state = tr.state._replace(params=params)
+
+    psnrs, ssims, maes, maes_nr = [], [], [], []
+    for idx in range(len(val_ds)):
+        s = val_ds.get_image(idx)
+        out = tr.render_image(s)
+        h, w = s["h"], s["w"]
+        rgb = out["rgb_coarse"].reshape(h, w, 3)
+        gt = s["rgbs"].reshape(h, w, 3)
+        mask = s.get("mask")
+        mval = jnp.asarray(mask.reshape(h, w, 1)) if mask is not None else None
+        p = float(psnr_m(jnp.asarray(rgb), jnp.asarray(gt), mval))
+        sv = float(ssim_m(jnp.asarray(rgb), jnp.asarray(gt)))
+        src = s.get("src_id", str(idx))
+        write_geotiff(os.path.join(out_dir, f"{src}_rgb.tif"),
+                      (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+                      .transpose(2, 0, 1), GeoProfile())
+        depth = out["depth_coarse"]
+        write_geotiff(os.path.join(out_dir, f"{src}_depth.tif"),
+                      depth.reshape(1, h, w).astype(np.float32), GeoProfile())
+        scene = getattr(val_ds, "scene", None)
+        if scene is not None:
+            dsm, prof = dsm_mod.dsm_from_depth(
+                s["rays"], depth, scene, cs=val_ds.cfg.cs,
+                utm_zone=val_ds.utm_zone,
+                dsm_path=os.path.join(out_dir, "dsm", f"{src}_dsm.tif"))
+            if args.gt_dir:
+                rep = dsm_mod.mae_report(
+                    dsm, prof, args.gt_dir, args.aoi_id,
+                    out_dir=os.path.join(out_dir, "rdsm"),
+                    src_id=src, epoch_number=epoch_number)
+                if s.get("is_val", True):
+                    maes.append(rep.mae)
+                    maes_nr.append(rep.mae_nr)
+        if s.get("is_val", True):
+            psnrs.append(p)
+            ssims.append(sv)
+        print(f"{src}: psnr {p:.2f} ssim {sv:.3f}"
+              + (f" mae {maes[-1]:.2f}" if maes and s.get("is_val", True)
+                 else ""))
+
+    result = {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+              "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+              "mae": float(np.mean(maes)) if maes else float("nan"),
+              "mae_nr": float(np.mean(maes_nr)) if maes_nr else float("nan")}
+    print(f"mean: psnr {result['psnr']:.2f} ssim {result['ssim']:.3f} "
+          f"mae {result['mae']:.3f} mae_nr {result['mae_nr']:.2f}")
+    return result
+
+
+def _dummy_store(val_ds):
+    """Minimal ray store so Trainer can initialize without train data."""
+    s = val_ds.get_image(0)
+    n = 16
+    store = {"rays": s["rays"][:n], "rgbs": s["rgbs"][:n],
+             "ts": np.zeros(n, np.int32)}
+    return store
+
+
+def main(argv=None):
+    args = opts_mod.eval_parser().parse_args(argv)
+    evaluate(args.logs_dir, args.epoch_number, split=args.split,
+             checkpoints_dir=args.checkpoints_dir,
+             output_dir=args.output_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+"""Flag definitions + opts.json round-trip (reference: opt.py:10-355).
+
+Training dumps opts.json into the run directory; eval reloads it as the
+source of truth (opt.py:349-351, eval.py:228-229).  Flag names/defaults
+match the reference so run scripts port unchanged; flags are mapped onto
+the static RunConfig dataclasses that drive XLA specialization.
+
+Reference post-processing reproduced (opt.py:328-351): nr_spv_type derived
+from --normal; fc_feat_ref defaults to fc_feat; sc_lambda zeroed unless
+sun_v == 'learned'; exp_name required.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+from ..config import (ModelConfig, RenderConfig, TrainConfig, RunConfig,
+                      derive_nr_spv_type)
+
+
+def train_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="brdfnerf_tpu training")
+    # paths (opt.py:127-151)
+    p.add_argument("--root_dir", type=str, required=True)
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--ckpts_dir", type=str, default="ckpts")
+    p.add_argument("--logs_dir", type=str, default="logs")
+    p.add_argument("--gt_dir", type=str, default=None)
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--in_ckpts", type=str, default=None)
+    p.add_argument("--exp_name", type=str, required=True)
+    # core training (opt.py:152-184)
+    p.add_argument("--gpu_id", type=int, default=1)
+    p.add_argument("--model", type=str, default="spsbrdf-nerf",
+                   choices=["nerf", "s-nerf", "sat-nerf", "sps-nerf",
+                            "spsbrdf-nerf"])
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--img_downscale", type=float, default=1.0)
+    p.add_argument("--max_train_steps", type=int, default=300000)
+    p.add_argument("--save_ckpt_every_n_epochs", type=int, default=1)
+    p.add_argument("--eval_every_n_epochs", type=int, default=1)
+    p.add_argument("--fc_feat", type=int, default=512)
+    p.add_argument("--fc_layers", type=int, default=8)
+    p.add_argument("--n_samples", type=int, default=64)
+    p.add_argument("--n_importance", type=int, default=0)
+    p.add_argument("--noise_std", type=float, default=0.0)
+    p.add_argument("--chunk", type=int, default=1024 * 5)
+    p.add_argument("--data", type=str, default="sat",
+                   choices=["sat", "blender"])
+    # loss weights (opt.py:186-245)
+    p.add_argument("--lambda_rgb", type=float, default=1.0)
+    p.add_argument("--sc_lambda", type=float, default=0.0)
+    p.add_argument("--ds_lambda", type=float, default=0.0)
+    p.add_argument("--ds_drop", type=float, default=1.0)
+    p.add_argument("--ds_noweights", action="store_true")
+    p.add_argument("--first_beta_epoch", type=int, default=2)
+    p.add_argument("--t_embbeding_tau", type=int, default=4)
+    p.add_argument("--t_embbeding_vocab", type=int, default=30)
+    p.add_argument("--beta", action="store_true")
+    p.add_argument("--mapping", action="store_true")
+    p.add_argument("--gnll", action="store_true")
+    p.add_argument("--usealldepth", action="store_true")
+    p.add_argument("--guided_samples", type=int, default=64)
+    p.add_argument("--margin", type=float, default=0.0001)
+    p.add_argument("--stdscale", type=float, default=1.0)
+    p.add_argument("--corrscale", type=float, default=1.0)
+    p.add_argument("--siren", type=int, default=1)
+    p.add_argument("--mod_alt_bound", action="store_true")
+    p.add_argument("--sun_v", type=str, default="none",
+                   choices=["none", "analystic", "learned"])
+    p.add_argument("--indirect_light", action="store_true")
+    p.add_argument("--normal", type=str, default="none",
+                   choices=["none", "analystic", "learned",
+                            "analystic_learned"])
+    p.add_argument("--nr_reg_an_lambda", type=float, default=0.0)
+    p.add_argument("--nr_reg_lr_lambda", type=float, default=0.0)
+    p.add_argument("--nr_spv_lambda", type=float, default=0.0)
+    p.add_argument("--nr_spv_type", type=int, default=0)
+    p.add_argument("--hs_lambda", type=float, default=0.0)
+    p.add_argument("--brdf_on", type=float, default=1.0)
+    p.add_argument("--nrrg_on", type=float, default=0.0)
+    p.add_argument("--cos_irra_on", type=float, default=1.0)
+    p.add_argument("--gsam_only_on", type=float, default=1.0)
+    p.add_argument("--gsam_only", action="store_true")
+    # BRDF (opt.py:261-309)
+    p.add_argument("--MultiBRDF", dest="multi_brdf", action="store_true")
+    p.add_argument("--roughness", action="store_true")
+    p.add_argument("--glossy_scale", type=float, default=1.0)
+    p.add_argument("--f0", type=float, default=0.04)
+    p.add_argument("--shell_hapke", type=int, default=0)
+    p.add_argument("--hpk_scl", type=float, default=4.0)
+    p.add_argument("--b", dest="hapke_b", action="store_true")
+    p.add_argument("--c", dest="hapke_c", action="store_true")
+    p.add_argument("--B0", dest="hapke_b0", action="store_true")
+    p.add_argument("--h", dest="hapke_h", action="store_true")
+    p.add_argument("--theta", dest="hapke_theta", action="store_true")
+    p.add_argument("--funcM", dest="func_m", type=int, default=0)
+    p.add_argument("--funcF", dest="func_f", type=int, default=0)
+    p.add_argument("--funcH", dest="func_h", type=int, default=0)
+    p.add_argument("--dim_RPV", dest="dim_rpv", type=int, default=1)
+    p.add_argument("--input_viewdir", type=int, default=0)
+    # dataset details
+    p.add_argument("--aoi_id", type=str, default="Dji_012")
+    p.add_argument("--cs", type=str, default="utm", choices=["utm", "ecef"])
+    p.add_argument("--inputdds", type=str, default="DenseDepth_ZM4")
+    p.add_argument("--infile_postfix", type=str, default=".txt")
+    p.add_argument("--scale", type=float, default=1.0 / 255.0)
+    p.add_argument("--dRange", dest="std_range", type=float, default=3.0)
+    p.add_argument("--use_disp", action="store_true")
+    p.add_argument("--img_wh", type=int, nargs=2, default=(400, 400))
+    p.add_argument("--std_quirk", type=int, default=1,
+                   help="reproduce the reference's zero-std GT-delta "
+                        "guided sampling (satellite_rgb_dep.py:407-408)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tensorboard", action="store_true")
+    return p
+
+
+def eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="brdfnerf_tpu evaluation")
+    # (reference Test_parser, opt.py:10-29)
+    p.add_argument("--run_id", type=str, default=None)
+    p.add_argument("--logs_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--epoch_number", type=int, required=True)
+    p.add_argument("--split", type=str, default="eval")
+    p.add_argument("--checkpoints_dir", type=str, default=None)
+    return p
+
+
+def postprocess(args: argparse.Namespace) -> argparse.Namespace:
+    args.nr_spv_type = derive_nr_spv_type(args.normal, args.nr_spv_type)
+    if args.sun_v != "learned":
+        args.sc_lambda = 0.0                      # opt.py:339-341
+    return args
+
+
+def to_run_config(args: argparse.Namespace) -> RunConfig:
+    mcfg = ModelConfig(
+        variant=args.model, layers=args.fc_layers, feat=args.fc_feat,
+        siren=bool(args.siren), mapping=bool(args.mapping),
+        input_viewdir=bool(args.input_viewdir), beta=args.beta,
+        t_embedding_vocab=args.t_embbeding_vocab,
+        t_embedding_tau=args.t_embbeding_tau,
+        sun_v=args.sun_v, indirect_light=args.indirect_light,
+        normal=args.normal, roughness=args.roughness,
+        func_m=bool(args.func_m), func_f=bool(args.func_f),
+        func_h=args.func_h, dim_rpv=args.dim_rpv,
+        hapke_b=args.hapke_b, hapke_c=args.hapke_c,
+        hapke_theta=args.hapke_theta, hapke_h=args.hapke_h,
+        hapke_b0=args.hapke_b0, shell_hapke=args.shell_hapke,
+        hpk_scl=args.hpk_scl, glossy_scale=args.glossy_scale,
+        fresnel_f0=args.f0, multi_brdf=args.multi_brdf)
+    brdf_requested = (args.roughness or args.func_m or args.func_f
+                      or args.func_h or args.hapke_b or args.shell_hapke)
+    rcfg = RenderConfig(
+        n_samples=args.n_samples, n_importance=args.n_importance,
+        guided_samples=args.guided_samples, use_disp=args.use_disp,
+        noise_std=args.noise_std, std_range=args.std_range,
+        stdscale=args.stdscale, margin=args.margin,
+        apply_brdf=bool(brdf_requested and args.brdf_on < 1.0),
+        apply_theta=bool(brdf_requested and args.brdf_on < 0.5),
+        gsam_only=args.gsam_only,
+        use_sat_sun=(args.data == "sat"))
+    tcfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size,
+        max_train_steps=args.max_train_steps,
+        lambda_rgb=args.lambda_rgb, sc_lambda=args.sc_lambda,
+        ds_lambda=args.ds_lambda, ds_drop=args.ds_drop,
+        ds_noweights=args.ds_noweights, gnll=args.gnll,
+        usealldepth=args.usealldepth,
+        nr_reg_an_lambda=args.nr_reg_an_lambda,
+        nr_reg_lr_lambda=args.nr_reg_lr_lambda,
+        nr_spv_lambda=args.nr_spv_lambda, nr_spv_type=args.nr_spv_type,
+        hs_lambda=args.hs_lambda, first_beta_epoch=args.first_beta_epoch,
+        brdf_on=args.brdf_on, nrrg_on=args.nrrg_on,
+        cos_irra_on=args.cos_irra_on, gsam_only_on=args.gsam_only_on)
+    return RunConfig(model=mcfg, render=rcfg, train=tcfg)
+
+
+def dump_opts(args: argparse.Namespace, run_dir: str) -> str:
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, "opts.json")
+    with open(path, "w") as f:
+        json.dump(vars(args), f, indent=2)
+    return path
+
+
+def load_opts(run_dir: str) -> argparse.Namespace:
+    """eval.py:228-229: reload opts.json as the config source of truth."""
+    with open(os.path.join(run_dir, "opts.json")) as f:
+        return argparse.Namespace(**json.load(f))

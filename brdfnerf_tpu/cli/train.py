@@ -1,0 +1,59 @@
+"""Training CLI: python -m brdfnerf_tpu.cli.train --model spsbrdf-nerf
+--exp_name ... --root_dir ... (reference main.py:694-736 semantics).
+
+Dumps opts.json into logs_dir/exp_name for the eval CLI to reload, trains
+with the Trainer loop, writes epoch={n}.npz checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from . import opts as opts_mod
+
+
+def main(argv=None):
+    args = opts_mod.postprocess(opts_mod.train_parser().parse_args(argv))
+    run_dir = os.path.join(args.logs_dir, args.exp_name)
+    opts_mod.dump_opts(args, run_dir)
+    cfg = opts_mod.to_run_config(args)
+
+    from ..train import Trainer, TrainerPaths
+
+    if args.data == "blender":
+        from ..data.blender import BlenderDataset
+        train_ds = BlenderDataset(args.root_dir, split="train",
+                                  img_wh=tuple(args.img_wh))
+        val_ds = BlenderDataset(args.root_dir, split="val",
+                                img_wh=tuple(args.img_wh))
+        store = train_ds.train_store
+        scene = None
+    else:
+        from ..data.satellite import SatelliteConfig, SatelliteDataset
+        sat_cfg = SatelliteConfig(
+            root_dir=args.root_dir, img_dir=args.img_dir,
+            depth_subdir=args.inputdds, aoi_id=args.aoi_id, cs=args.cs,
+            img_downscale=args.img_downscale, scale=args.scale,
+            corrscale=args.corrscale, stdscale=args.stdscale,
+            margin=args.margin, mod_alt_bound=args.mod_alt_bound,
+            infile_postfix=args.infile_postfix,
+            std_quirk=bool(args.std_quirk),
+            load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
+        train_ds = SatelliteDataset(sat_cfg, split="train")
+        val_ds = SatelliteDataset(sat_cfg, split="val")
+        store = train_ds.store
+
+    ckpts_dir = os.path.join(args.ckpts_dir, args.exp_name)
+    paths = TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir,
+                         gt_dir=args.gt_dir, aoi_id=args.aoi_id)
+    trainer = Trainer(cfg, store, paths, val_dataset=val_ds,
+                      seed=args.seed, use_tb=args.tensorboard,
+                      in_ckpts=args.in_ckpts, resume_from=args.ckpt_path)
+    trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
+                save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,5 +1,9 @@
 from .batcher import RayBatcher
 from .blender import BlenderDataset
+from .satellite import (SatelliteConfig, SatelliteDataset, SceneLoc,
+                        get_rays_np, normals_from_grid_points)
 from .factory import load_dataset
 
-__all__ = ["RayBatcher", "BlenderDataset", "load_dataset"]
+__all__ = ["RayBatcher", "BlenderDataset", "SatelliteConfig",
+           "SatelliteDataset", "SceneLoc", "get_rays_np",
+           "normals_from_grid_points", "load_dataset"]

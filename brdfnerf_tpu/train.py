@@ -1,0 +1,296 @@
+"""Host training driver: schedule gates, compiled-step specialization,
+validation, checkpointing.
+
+Replaces the reference's Lightning module + Trainer (main.py:31-736) with a
+plain loop around ONE jitted train step.  Dynamic schedule gates
+(step-vs-threshold booleans, main.py:60-63,202-230) feed the compiled step;
+the two gates that change program *structure* (apply_brdf at
+brdf_on*max_steps, apply_theta at 2*brdf_on*max_steps, main.py:202-210)
+swap between at most three compiled specializations.
+
+Validation renders full images through a fixed-size chunked jitted render
+step (pad-last-chunk, device-resident; replaces the host chunk loop at
+main.py:120-141), then computes PSNR/SSIM and the DSM MAE chain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import RunConfig, RenderConfig
+from .data.batcher import RayBatcher
+from .parallel.train_step import (TrainGates, TrainState, create_train_state,
+                                  make_train_step, make_render_step,
+                                  make_optimizer)
+from .utils import checkpoint as ckpt
+from .metrics import psnr as psnr_metric, ssim as ssim_metric
+from .geo import dsm as dsm_mod
+
+
+@dataclass
+class TrainerPaths:
+    logs_dir: str
+    ckpts_dir: str
+    gt_dir: Optional[str] = None
+    aoi_id: str = ""
+
+
+class ScalarLog:
+    """JSONL scalar logger (+ optional TensorBoard when torch is present)."""
+
+    def __init__(self, logs_dir: str, use_tb: bool = False):
+        os.makedirs(logs_dir, exist_ok=True)
+        self.f = open(os.path.join(logs_dir, "scalars.jsonl"), "a")
+        self.tb = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(logs_dir)
+            except Exception:
+                self.tb = None
+
+    def log(self, step: int, scalars: Dict[str, float]):
+        rec = {"step": step}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), step)
+
+
+def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class Trainer:
+    def __init__(self, cfg: RunConfig, train_store: Dict[str, np.ndarray],
+                 paths: TrainerPaths, val_dataset=None,
+                 mesh=None, seed: int = 0, use_tb: bool = False,
+                 freeze: Optional[List[str]] = None,
+                 in_ckpts: Optional[str] = None,
+                 resume_from: Optional[str] = None):
+        self.cfg = cfg
+        self.paths = paths
+        self.val_dataset = val_dataset
+        self.mesh = mesh
+        self.log = ScalarLog(paths.logs_dir, use_tb)
+        os.makedirs(paths.ckpts_dir, exist_ok=True)
+
+        tcfg = cfg.train
+        batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
+                                  "valid_depth", "depth_std", "normals",
+                                  "valid_normal") if k in train_store]
+        self.batcher = RayBatcher({k: train_store[k] for k in batch_keys},
+                                  tcfg.batch_size, seed=seed)
+        self.steps_per_epoch = self.batcher.steps_per_epoch
+        self.max_steps = tcfg.max_train_steps
+
+        key = jax.random.PRNGKey(seed)
+        self.state, self.opt = create_train_state(
+            key, cfg.model, tcfg, self.steps_per_epoch,
+            n_importance=cfg.render.n_importance)
+        if freeze:
+            mask = ckpt.freeze_mask(self.state.params, freeze)
+            labels = jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", mask)
+            base, _ = make_optimizer(tcfg, self.steps_per_epoch)
+            self.opt = optax.multi_transform(
+                {"train": base, "freeze": optax.set_to_zero()}, labels)
+            self.state = TrainState(self.state.params,
+                                    self.opt.init(self.state.params),
+                                    self.state.step)
+        if in_ckpts:
+            # two-stage handoff: trunk + sigma + feats (+ rgb unless Hapke)
+            include = ckpt.handoff_include("coarse", cfg.model.hapke_b)
+            params = ckpt.restore_params(self.state.params, in_ckpts,
+                                         include=include)
+            self.state = TrainState(params, self.opt.init(params),
+                                    self.state.step)
+            print(f"[handoff] restored {include} from {in_ckpts}")
+        if resume_from:
+            params = ckpt.restore_params(self.state.params, resume_from)
+            step = ckpt.checkpoint_step(resume_from)
+            self.state = TrainState(params, self.opt.init(params),
+                                    jnp.asarray(step, jnp.int32))
+            print(f"[resume] step {step} from {resume_from}")
+
+        # schedule thresholds (fractions of max_steps, main.py:60-63)
+        self.t_brdf = tcfg.brdf_on * self.max_steps
+        self.t_theta = 2.0 * tcfg.brdf_on * self.max_steps
+        self.t_nrrg = tcfg.nrrg_on * self.max_steps
+        self.t_cos_irra = tcfg.cos_irra_on * self.max_steps
+        self.t_gsam_only = tcfg.gsam_only_on * self.max_steps
+        self.t_ds_drop = tcfg.ds_drop * self.max_steps
+
+        self._step_fns: Dict[Any, Any] = {}
+        self._render_fn = None
+        self._key = jax.random.PRNGKey(seed + 1)
+
+    # ---------------------------------------------------------- step fns
+
+    def _static_phase(self, step: int):
+        rcfg = self.cfg.render
+        apply_brdf = step > self.t_brdf
+        apply_theta = step > self.t_theta
+        gsam_only = step > self.t_gsam_only
+        return (apply_brdf and rcfg.apply_brdf,
+                apply_theta and rcfg.apply_theta,
+                gsam_only and rcfg.gsam_only)
+
+    def _get_step_fn(self, phase):
+        if phase not in self._step_fns:
+            import dataclasses as dc
+            rcfg = dc.replace(self.cfg.render, apply_brdf=phase[0],
+                              apply_theta=phase[1], gsam_only=phase[2])
+            self._step_fns[phase] = make_train_step(
+                self.cfg.model, rcfg, self.cfg.train, self.opt,
+                mesh=self.mesh)
+        return self._step_fns[phase]
+
+    def _gates(self, step: int, epoch: int) -> TrainGates:
+        tcfg = self.cfg.train
+        return TrainGates(
+            cos_irra_on=jnp.asarray(step > self.t_cos_irra),
+            ds_on=jnp.asarray(step < self.t_ds_drop),
+            nrrg_on=jnp.asarray(step > self.t_nrrg),
+            beta_warmup=jnp.asarray(epoch < tcfg.first_beta_epoch),
+            hs_on=jnp.asarray(epoch > 2))
+
+    # ------------------------------------------------------------- train
+
+    def fit(self, max_steps: Optional[int] = None,
+            log_every: int = 100, eval_every_n_epochs: int = 1,
+            save_ckpt_every_n_epochs: int = 1,
+            progress: bool = True) -> Dict[str, float]:
+        max_steps = max_steps or self.max_steps
+        t0 = time.perf_counter()
+        last_metrics: Dict[str, float] = {}
+        start = int(self.state.step)
+        epoch = start // self.steps_per_epoch
+        for step in range(start, max_steps):
+            new_epoch = step // self.steps_per_epoch
+            if new_epoch != epoch or step == start:
+                if step > start:
+                    self._on_epoch_end(epoch, eval_every_n_epochs,
+                                       save_ckpt_every_n_epochs)
+                epoch = new_epoch
+            batch = batch_to_device(self.batcher.next_batch())
+            self._key, k = jax.random.split(self._key)
+            step_fn = self._get_step_fn(self._static_phase(step))
+            self.state, metrics = step_fn(self.state, batch, k,
+                                          self._gates(step, epoch))
+            if step % log_every == 0 or step == max_steps - 1:
+                metrics = {k2: float(v) for k2, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                rays_s = ((step - start + 1) * self.cfg.train.batch_size) / dt
+                metrics["rays_per_sec"] = rays_s
+                self.log.log(step, {f"train/{k2}": v
+                                    for k2, v in metrics.items()})
+                if progress:
+                    print(f"step {step:6d} epoch {epoch:3d} "
+                          f"loss {metrics['loss']:.4f} "
+                          f"psnr {metrics['psnr']:.2f} "
+                          f"{rays_s:,.0f} rays/s")
+                last_metrics = metrics
+        self._on_epoch_end(epoch, eval_every_n_epochs,
+                           save_ckpt_every_n_epochs, final=True)
+        return last_metrics
+
+    def _on_epoch_end(self, epoch: int, eval_every: int, save_every: int,
+                      final: bool = False):
+        if self.val_dataset is not None and (
+                epoch % max(eval_every, 1) == 0 or final):
+            try:
+                self.validate(epoch)
+            except Exception as e:   # validation must never kill training
+                print(f"[val] failed at epoch {epoch}: {e}")
+        if epoch % max(save_every, 1) == 0 or final:
+            path = os.path.join(self.paths.ckpts_dir, f"epoch={epoch}.npz")
+            ckpt.save_checkpoint(path, self.state.params,
+                                 step=int(self.state.step))
+
+    # -------------------------------------------------------------- eval
+
+    def render_image(self, sample: Dict, chunk: int = 16384,
+                     rcfg: Optional[RenderConfig] = None) -> Dict[str, np.ndarray]:
+        """Full-image render via a fixed-shape jitted chunk fn."""
+        import dataclasses as dc
+        from .render.render import RenderInputs
+        if rcfg is None:
+            # eval uses the final static phase (eval.py:383-384 semantics:
+            # apply_brdf when brdf_on < 1)
+            rcfg = dc.replace(
+                self.cfg.render,
+                apply_brdf=(self.cfg.train.brdf_on < 1.0
+                            and self.cfg.render.apply_brdf),
+                apply_theta=(self.cfg.train.brdf_on < 0.5
+                             and self.cfg.render.apply_theta))
+        if self._render_fn is None:
+            self._render_fn = make_render_step(self.cfg.model, rcfg,
+                                               mesh=self.mesh)
+        rays = sample["rays"]
+        n = rays.shape[0]
+        # predefined_val_ts = 0 (main.py:416-417)
+        outs: Dict[str, List[np.ndarray]] = {}
+        key = jax.random.PRNGKey(0)
+        for i in range(0, n, chunk):
+            part = rays[i:i + chunk]
+            pad = chunk - part.shape[0]
+            if pad > 0:
+                part = np.concatenate([part, np.tile(part[-1:], (pad, 1))], 0)
+            inp = RenderInputs(rays=jnp.asarray(part),
+                               ts=jnp.zeros(chunk, jnp.int32),
+                               cos_irra_on=jnp.asarray(
+                                   self.cfg.train.cos_irra_on < 1.0))
+            res = self._render_fn(self.state.params, inp, key)
+            for k2 in ("rgb_coarse", "depth_coarse", "albedo_accu_coarse",
+                       "irradiance_coarse"):
+                if k2 in res:
+                    v = np.asarray(res[k2])
+                    outs.setdefault(k2, []).append(v[:chunk - pad if pad else chunk])
+        return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        ds = self.val_dataset
+        all_scalars = {}
+        for idx in range(len(ds)):
+            s = ds.get_image(idx)
+            out = self.render_image(s)
+            h, w = s["h"], s["w"]
+            rgb = out["rgb_coarse"].reshape(h, w, 3)
+            gt = s["rgbs"].reshape(h, w, 3)
+            mask = s.get("mask")
+            mval = (jnp.asarray(mask.reshape(h, w, 1))
+                    if mask is not None else None)
+            p = float(psnr_metric(jnp.asarray(rgb), jnp.asarray(gt), mval))
+            sv = float(ssim_metric(jnp.asarray(rgb), jnp.asarray(gt)))
+            tag = "val" if s.get("is_val", True) else "train_"
+            scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv}
+            if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
+                depth = out["depth_coarse"]
+                dsm, prof = dsm_mod.dsm_from_depth(
+                    s["rays"], depth, ds.scene, cs=ds.cfg.cs,
+                    utm_zone=ds.utm_zone)
+                rep = dsm_mod.mae_report(
+                    dsm, prof, self.paths.gt_dir, self.paths.aoi_id,
+                    out_dir=os.path.join(self.paths.logs_dir, "rdsm"),
+                    src_id=s.get("src_id", str(idx)), epoch_number=epoch)
+                scal[f"{tag}/mae_{idx}"] = rep.mae
+                scal[f"{tag}/mae_nr_{idx}"] = rep.mae_nr
+            all_scalars.update(scal)
+        self.log.log(int(self.state.step), all_scalars)
+        vals = [v for k2, v in all_scalars.items() if k2.startswith("val/psnr")]
+        if vals:
+            print(f"[val] epoch {epoch} mean psnr {np.mean(vals):.2f}")
+        return all_scalars

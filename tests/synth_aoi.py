@@ -1,0 +1,125 @@
+"""Synthetic AOI builder: a tiny self-consistent satellite scene on disk in
+the reference's dataset layout (per-image JSON + GeoTIFF + MicMac depth
+triplets + split files + GT DSM), used by the data/DSM/e2e tests.
+
+World model: flat terrain at ALT0 meters near (lat 48, lon 2), UTM zone 31N.
+Each image has an exactly-affine RPC (denominators == 1) so localization is
+closed-form invertible; image intensity is a smooth function of ground
+lon/lat so multi-view consistency holds.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from brdfnerf_tpu.utils.geotiff import write_geotiff, GeoProfile, utm_epsg
+from brdfnerf_tpu.geo.geodesy import utm_from_latlon
+
+LAT0, LON0 = 48.0, 2.0
+ALT0 = 100.0
+MIN_ALT, MAX_ALT = 60.0, 160.0
+H = W = 32
+ZONE = 31
+
+
+def affine_rpc_dict(dlon_dalt=0.0, dlat_dalt=0.0):
+    """col = 16 + 3200*nlon + a13*nalt ..., denominators 1.  The nalt terms
+    tilt the view direction away from nadir (different per image)."""
+    col_num = [0.0] * 20
+    col_num[1] = 1.0            # nlon
+    col_num[3] = dlon_dalt      # nalt cross-talk -> oblique view
+    row_num = [0.0] * 20
+    row_num[2] = -1.0           # -nlat (row grows southward)
+    row_num[3] = dlat_dalt
+    den = [0.0] * 20
+    den[0] = 1.0
+    return dict(
+        row_offset=H / 2.0, col_offset=W / 2.0,
+        lat_offset=LAT0, lon_offset=LON0, alt_offset=ALT0,
+        row_scale=H / 2.0, col_scale=W / 2.0,
+        lat_scale=2e-4, lon_scale=3e-4, alt_scale=100.0,
+        row_num=row_num, row_den=den, col_num=col_num, col_den=den)
+
+
+def ground_texture(lon, lat):
+    """Smooth multi-view-consistent intensity in [0, 1]."""
+    u = (lon - LON0) / 3e-4
+    v = (lat - LAT0) / 2e-4
+    return 0.5 + 0.25 * np.sin(2.0 * u) + 0.25 * np.cos(3.0 * v)
+
+
+def localize_affine(rpc_d, cols, rows, alt):
+    """Closed-form inverse of the affine RPC above."""
+    nalt = (np.asarray(alt, np.float64) - rpc_d["alt_offset"]) / rpc_d["alt_scale"]
+    ncol = (np.asarray(cols, np.float64) - rpc_d["col_offset"]) / rpc_d["col_scale"]
+    nrow = (np.asarray(rows, np.float64) - rpc_d["row_offset"]) / rpc_d["row_scale"]
+    nlon = ncol - rpc_d["col_num"][3] * nalt
+    nlat = -(nrow - rpc_d["row_num"][3] * nalt)
+    return (nlon * rpc_d["lon_scale"] + rpc_d["lon_offset"],
+            nlat * rpc_d["lat_scale"] + rpc_d["lat_offset"])
+
+
+def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
+              depth_subdir: str = "DenseDepth_ZM4"):
+    os.makedirs(root, exist_ok=True)
+    depth_dir = os.path.join(root, depth_subdir)
+    os.makedirs(depth_dir, exist_ok=True)
+    tilts = [(0.0, 0.0), (0.15, 0.05), (-0.1, 0.12), (0.05, -0.15)]
+    names = []
+    for i in range(n_train + n_test):
+        rpc_d = affine_rpc_dict(*tilts[i % len(tilts)])
+        img_name = f"img_{i:02d}.tif"
+        cols, rows = np.meshgrid(np.arange(W), np.arange(H))
+        lon, lat = localize_affine(rpc_d, cols, rows, ALT0)
+        tex = ground_texture(lon, lat)
+        rgb = np.stack([tex, tex, tex]).astype(np.float32)
+        rgb8 = (rgb * 255).astype(np.uint8)
+        write_geotiff(os.path.join(root, img_name), rgb8,
+                      GeoProfile(epsg=utm_epsg(ZONE, True)))
+        meta = dict(img=img_name, height=H, width=W, rpc=rpc_d,
+                    min_alt=MIN_ALT, max_alt=MAX_ALT,
+                    sun_elevation=55.0, sun_azimuth=140.0 + 5 * i)
+        jname = f"img_{i:02d}.json"
+        with open(os.path.join(root, jname), "w") as f:
+            json.dump(meta, f)
+        names.append(jname)
+
+        # MicMac depth triplet: dense (every pixel), flat terrain at ALT0
+        sel_c, sel_r = np.meshgrid(np.arange(0, W), np.arange(0, H))
+        sel_c, sel_r = sel_c.ravel(), sel_r.ravel()
+        lon_s, lat_s = localize_affine(rpc_d, sel_c, sel_r, ALT0)
+        e, n = utm_from_latlon(lat_s, lon_s, zone=ZONE)
+        pts3d = np.stack([e, n, np.full_like(e, ALT0)], -1)
+        img_id = f"img_{i:02d}"
+        np.savetxt(os.path.join(depth_dir, img_id + "_2DPts.txt"),
+                   np.stack([sel_c, sel_r], -1), fmt="%d")
+        np.savetxt(os.path.join(depth_dir, img_id + "_3DPts.txt"), pts3d,
+                   fmt="%.6f")
+        np.savetxt(os.path.join(depth_dir, img_id + "_Correl.txt"),
+                   np.linspace(0.5, 1.0, len(sel_c)), fmt="%.6f")
+
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("".join(n + "\n" for n in names[:n_train]))
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("".join(n + "\n" for n in names[n_train:]))
+
+    # GT lidar DSM over the AOI footprint: flat ALT0, resolution 1 m
+    rpc_d = affine_rpc_dict()
+    cols, rows = np.meshgrid([0, W - 1], [0, H - 1])
+    lon, lat = localize_affine(rpc_d, cols.ravel(), rows.ravel(), ALT0)
+    e, n = utm_from_latlon(lat, lon, zone=ZONE)
+    res = 1.0
+    xoff = np.floor(e.min())
+    size = int(np.ceil(max(e.max() - e.min(), n.max() - n.min()))) + 2
+    yoff_b = np.floor(n.min())
+    gt = np.full((size, size), ALT0, np.float32)
+    gt_dir = os.path.join(root, "gt")
+    os.makedirs(gt_dir, exist_ok=True)
+    aoi_id = "Synth_001"
+    write_geotiff(os.path.join(gt_dir, f"{aoi_id}_DSM.tif"), gt[None],
+                  GeoProfile(ulx=float(xoff), uly=float(yoff_b) + size * res,
+                             xres=res, yres=res, epsg=utm_epsg(ZONE, True)))
+    np.savetxt(os.path.join(gt_dir, f"{aoi_id}_DSM.txt"),
+               np.asarray([xoff, yoff_b, size, res]))
+    return dict(root=root, gt_dir=gt_dir, aoi_id=aoi_id, names=names)

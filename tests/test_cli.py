@@ -1,0 +1,69 @@
+"""CLI contract tests: train CLI -> opts.json + checkpoints -> eval CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from synth_aoi import build_aoi
+
+
+@pytest.fixture(scope="module")
+def aoi(tmp_path_factory):
+    return build_aoi(str(tmp_path_factory.mktemp("synth_aoi_cli")))
+
+
+def test_train_then_eval_cli(aoi, tmp_path):
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.eval import main as eval_main
+
+    logs = str(tmp_path / "logs")
+    ckpts = str(tmp_path / "ckpts")
+    argv = [
+        "--model", "sps-nerf", "--exp_name", "cli_smoke",
+        "--root_dir", aoi["root"], "--logs_dir", logs,
+        "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+        "--aoi_id", aoi["aoi_id"],
+        "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "8",
+        "--batch_size", "256", "--max_train_steps", "60",
+        "--ds_lambda", "10", "--lr", "1e-3",
+        "--eval_every_n_epochs", "1000",
+        "--sun_v", "learned", "--sc_lambda", "0.05",
+    ]
+    assert train_main(argv) == 0
+
+    run_dir = os.path.join(logs, "cli_smoke")
+    with open(os.path.join(run_dir, "opts.json")) as f:
+        opts = json.load(f)
+    assert opts["model"] == "sps-nerf"
+    assert opts["sc_lambda"] == pytest.approx(0.05)   # kept: sun_v==learned
+
+    ckpt_dir = os.path.join(ckpts, "cli_smoke")
+    eps = [f for f in os.listdir(ckpt_dir) if f.startswith("epoch=")]
+    assert eps, os.listdir(ckpt_dir)
+    last_epoch = max(int(f[len("epoch="):-len(".npz")]) for f in eps)
+
+    assert eval_main(["--logs_dir", run_dir,
+                      "--epoch_number", str(last_epoch)]) == 0
+    out_dir = os.path.join(run_dir, f"eval_epoch{last_epoch}")
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_rgb.tif") for f in files)
+    assert any(f.endswith("_depth.tif") for f in files)
+    assert os.path.isdir(os.path.join(out_dir, "rdsm"))
+
+
+def test_sc_lambda_zeroed_without_learned_sun():
+    from brdfnerf_tpu.cli.opts import train_parser, postprocess
+    args = postprocess(train_parser().parse_args(
+        ["--root_dir", "/tmp", "--exp_name", "x", "--sc_lambda", "0.3"]))
+    assert args.sc_lambda == 0.0                      # opt.py:339-341
+
+
+def test_nr_spv_type_derivation():
+    from brdfnerf_tpu.cli.opts import train_parser, postprocess
+    args = postprocess(train_parser().parse_args(
+        ["--root_dir", "/tmp", "--exp_name", "x",
+         "--normal", "analystic"]))
+    assert args.nr_spv_type == 3                      # opt.py:328-334

@@ -1,0 +1,116 @@
+"""Satellite dataset pipeline tests on the synthetic AOI."""
+
+import numpy as np
+import pytest
+
+from synth_aoi import (build_aoi, ALT0, MIN_ALT, MAX_ALT, H, W)
+from brdfnerf_tpu.data.satellite import (SatelliteConfig, SatelliteDataset,
+                                         get_rays_np, load_or_create_scene_loc)
+from brdfnerf_tpu.geo import rpc as rpc_mod
+
+
+@pytest.fixture(scope="module")
+def aoi(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_aoi")
+    return build_aoi(str(root))
+
+
+@pytest.fixture(scope="module")
+def train_ds(aoi):
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    return SatelliteDataset(cfg, split="train")
+
+
+def test_train_store_shapes(train_ds):
+    s = train_ds.store
+    n = 2 * H * W
+    assert s["rays"].shape == (n, 11)
+    assert s["rgbs"].shape == (n, 3)
+    assert s["depths"].shape == (n, 2)
+    for k in ("valid_depth", "depth_std", "valid_normal", "ts"):
+        assert s[k].shape == (n,), k
+    assert s["normals"].shape == (n, 3)
+    assert s["rays"].dtype == np.float32
+
+
+def test_rays_normalized(train_ds):
+    rays = train_ds.store["rays"]
+    # unit directions, near == 0, all coords in [-2, 2] after normalization
+    assert np.allclose(np.linalg.norm(rays[:, 3:6], axis=1), 1.0, atol=1e-5)
+    assert np.allclose(rays[:, 6], 0.0)
+    assert (rays[:, 7] > 0).all()
+    assert np.abs(rays[:, 0:3]).max() < 2.0
+    # sun dirs are unit
+    assert np.allclose(np.linalg.norm(rays[:, 8:11], axis=1), 1.0, atol=1e-5)
+
+
+def test_depth_matches_flat_terrain(train_ds):
+    """Flat terrain at ALT0: depth along each ray must equal the fraction
+    (max_alt - ALT0) / (max_alt - min_alt) of the ray's far bound."""
+    s = train_ds.store
+    sel = s["valid_depth"] > 0
+    frac = (MAX_ALT - ALT0) / (MAX_ALT - MIN_ALT)
+    expected = frac * s["rays"][sel, 7]
+    got = s["depths"][sel, 0]
+    np.testing.assert_allclose(got, expected, rtol=1e-3)
+
+
+def test_depth_std_quirk_and_weights(train_ds):
+    s = train_ds.store
+    sel = s["valid_depth"] > 0
+    # quirk: effective std identically zero (satellite_rgb_dep.py:407-408,539)
+    assert np.allclose(s["depth_std"][sel], 0.0)
+    # nadir-cosine-weighted correlation weights stay in (0, 1]
+    w = s["depths"][sel, 1]
+    assert (w >= 0).all() and (w <= 1.0 + 1e-6).all() and w.max() > 0.5
+
+
+def test_normals_flat_terrain(train_ds):
+    s = train_ds.store
+    # interior pixels of the first image (grid borders keep the reference's
+    # zero-normal quirk even when flagged valid)
+    normals = s["normals"][:H * W].reshape(H, W, 3)
+    valid = s["valid_normal"][:H * W].reshape(H, W)
+    assert (valid[1:-1, 1:-1] > 0).all()
+    nz = normals[1:-1, 1:-1, 2]
+    assert (nz > 0.99).all()     # flat ground -> +z normals
+
+
+def test_val_split(aoi):
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    ds = SatelliteDataset(cfg, split="val")
+    assert len(ds) == 2          # 1 train debug image + 1 test image
+    s0 = ds.get_image(0)
+    s1 = ds.get_image(1)
+    assert s0["is_val"] is False and s0["save_cross"] is True
+    assert s1["is_val"] is True
+    assert s0["rays"].shape == (H * W, 11)
+    assert s0["mask"].shape == (H * W,)
+    assert s1["ts"][0] == 2      # test image id offset by n_train
+
+
+def test_scene_loc_cached(aoi, train_ds):
+    import os
+    assert os.path.exists(os.path.join(aoi["root"], "scene.loc"))
+    scene = load_or_create_scene_loc(aoi["root"])
+    assert scene.range > 0
+    # the scene center altitude sits inside the altitude bounds
+    assert MIN_ALT < scene.center[2] < MAX_ALT
+
+
+def test_rpc_np_matches_jnp(aoi):
+    """Float64 host localization agrees with the jit float32 path to
+    float32 precision."""
+    import json, os
+    with open(os.path.join(aoi["root"], "img_00.json")) as f:
+        rpc = rpc_mod.rpc_from_dict(json.load(f)["rpc"])
+    cols = np.asarray([0.0, 10.0, 31.0])
+    rows = np.asarray([5.0, 16.0, 30.0])
+    lon64, lat64 = rpc_mod.localization_np(rpc, cols, rows, 100.0)
+    import jax.numpy as jnp
+    lon32, lat32 = rpc_mod.localization(rpc, jnp.asarray(cols),
+                                        jnp.asarray(rows), 100.0)
+    np.testing.assert_allclose(np.asarray(lon32), lon64, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lat32), lat64, atol=2e-5)
