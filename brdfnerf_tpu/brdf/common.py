@@ -26,20 +26,28 @@ class BRDFAngles(NamedTuple):
 
 
 def calc_angles(pts2l, pts2c, normal, eps: float = 1e-5) -> BRDFAngles:
-    """pts2l/pts2c/normal: (N, 3) unit vectors (basic_func.py:5-31)."""
+    """pts2l/pts2c/normal: (N, 3) unit vectors (basic_func.py:5-31).
+
+    Clamps deviate from the reference in one deliberate way: cosines are
+    kept strictly inside (eps, 1-1e6eps) and the relative-azimuth division
+    is floored, because at exact nadir (cv == 1, sv == 0) the reference
+    computes 0/0 and arccos'(1) = -inf — NaNs it later value-replaces
+    (check_nan); here they never arise, so gradients stay finite too."""
     cos_min = eps
-    ci = jnp.clip(jnp.sum(pts2l * normal, axis=-1), cos_min, 1.0)
+    cos_max = 1.0 - 1e-6
+    ci = jnp.clip(jnp.sum(pts2l * normal, axis=-1), cos_min, cos_max)
     sza = jnp.arccos(ci)
     si = jnp.sin(sza)
 
-    cv = jnp.clip(jnp.sum(pts2c * normal, axis=-1), cos_min, 1.0)
+    cv = jnp.clip(jnp.sum(pts2c * normal, axis=-1), cos_min, cos_max)
     vza = jnp.arccos(cv)
     sv = jnp.sin(vza)
 
-    cg = jnp.clip(jnp.sum(pts2c * pts2l, axis=-1), -1.0, 1.0)
+    cg = jnp.clip(jnp.sum(pts2c * pts2l, axis=-1), -cos_max, cos_max)
     g = jnp.arccos(cg)
 
-    cp = jnp.clip((cg - ci * cv) / si / sv, -1.0, 1.0)
+    denom = jnp.maximum(si * sv, eps)
+    cp = jnp.clip((cg - ci * cv) / denom, -cos_max, cos_max)
     phi = jnp.arccos(cp)
     return BRDFAngles(ci, sza, si, cv, vza, sv, cg, g, phi)
 

@@ -105,13 +105,19 @@ def _pf(x, b, c):
     return jnp.nan_to_num(y)
 
 
-def _hf(x, w):
-    """Chandrasekhar H (Hapke 2002 approx, Hapke.py:117-131). x: (N,1); w: (N,3)."""
-    gamma = jnp.sqrt(1.0 - w)
+def _hf(x, w, eps: float = 1e-3):
+    """Chandrasekhar H (Hapke 2002 approx, Hapke.py:117-131). x: (N,1); w: (N,3).
+
+    x floored at eps: the roughness-effective cosines can dip to ~0 where
+    log((1+x)/x) and 1/tmp1 blow up (inf, which the reference's NaN-only
+    replacement misses)."""
+    x = jnp.maximum(x, eps)
+    gamma = jnp.sqrt(jnp.clip(1.0 - w, 1e-6, 1.0))
     ro = (1.0 - gamma) / (1.0 + gamma)
-    log = jnp.log(jnp.abs((1.0 + x) / x))
+    log = jnp.log((1.0 + x) / x)
     tmp1 = 1.0 - w * x * (ro + (1.0 - 2.0 * ro * x) / 2.0 * log)
-    y = 1.0 / tmp1
+    y = 1.0 / jnp.where(jnp.abs(tmp1) < 1e-4,
+                        jnp.sign(tmp1) * 1e-4 + (tmp1 == 0) * 1e-4, tmp1)
     return jnp.where(jnp.isnan(y), 1.0, y)
 
 
@@ -138,9 +144,13 @@ def hapke_brdf(pts2l, pts2c, normal, w, b=None, c=None, theta=None,
         bk = jnp.ones_like(a.g)[:, None]
 
     if theta is not None:
-        ci = _mu0_eff(a.sza, a.vza, a.phi, theta)
-        cv = _mu_eff(a.sza, a.vza, a.phi, theta)
-        shad = _shadow(a.sza, a.vza, a.phi, theta)[:, None]
+        # roughness-effective cosines can go slightly negative at grazing
+        # geometry; floor them so the H function and the ci/(ci+cv) factor
+        # stay finite (the reference NaN-replaces after the fact)
+        ci = jnp.clip(_mu0_eff(a.sza, a.vza, a.phi, theta), 1e-3, 1.0)
+        cv = jnp.clip(_mu_eff(a.sza, a.vza, a.phi, theta), 1e-3, 1.0)
+        shad = jnp.clip(_shadow(a.sza, a.vza, a.phi, theta),
+                        0.0, 10.0)[:, None]
     else:
         shad = jnp.ones_like(a.sza)[:, None]
 

@@ -69,6 +69,11 @@ class ModelConfig:
     fresnel_f0: float = 0.04             # opt.py:279-280
     multi_brdf: bool = False             # per-sample vs per-ray BRDF (opt.py:261-262)
     rgb_padding: float = 0.001           # nerf.py:171
+    # TPU-native: matmul compute dtype.  'bfloat16' runs the trunk/head
+    # matmuls on the MXU at bf16 with float32 accumulation
+    # (preferred_element_type) — ~4x the f32 MXU peak on v5e; activations
+    # and all transcendental/compositing math stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def rpv(self) -> bool:
@@ -119,6 +124,12 @@ class RenderConfig:
     apply_theta: bool = False
     gsam_only: bool = False
     use_sat_sun: bool = True             # rays carry sun dirs in cols 8:11 (data == 'sat')
+    # TPU-native: run the sigma-only passes (coarse depth probe + analytic
+    # sun-visibility march) through the fused Pallas trunk kernel.  Valid
+    # even in training: both passes are consumed only through
+    # stop_gradient (guided sampling, sun visibility), so no VJP is
+    # needed.  Requires a single-skip trunk (the reference architecture).
+    use_pallas: bool = False
 
     @property
     def total_samples(self) -> int:

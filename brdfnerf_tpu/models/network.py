@@ -69,7 +69,16 @@ def _init_mlp(key, sizes, siren_weights: bool = False):
     return layers
 
 
-def _linear(p, x):
+def _linear(p, x, compute_dtype: str = "float32"):
+    """Dense layer.  In bf16 mode both operands feed the MXU as bfloat16
+    with float32 accumulation (preferred_element_type) — the TPU-native
+    mixed-precision recipe; bias add stays float32."""
+    if compute_dtype == "bfloat16":
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), p["w"].astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + p["b"]
     return x @ p["w"] + p["b"]
 
 
@@ -169,7 +178,7 @@ def _trunk_features(params, cfg: ModelConfig, xyz):
     for i, layer in enumerate(params["fc_net"]):
         if i in cfg.skips:
             h = jnp.concatenate([enc, h], axis=-1)
-        h = _act(cfg, _linear(layer, h), first=(i == 0))
+        h = _act(cfg, _linear(layer, h, cfg.compute_dtype), first=(i == 0))
     return h
 
 
@@ -179,7 +188,7 @@ def _head(params, cfg: ModelConfig, name, x, final=None, act_relu=False):
     layers = params[name]
     h = x
     for i, layer in enumerate(layers):
-        h = _linear(layer, h)
+        h = _linear(layer, h, cfg.compute_dtype)
         if i < len(layers) - 1:
             h = jax.nn.relu(h) if act_relu else _act(cfg, h, first=False)
     if final == "sigmoid":
@@ -195,7 +204,7 @@ def _sun_v_head(params, cfg: ModelConfig, feats, sun_d):
     layers = params["sun_v_net"]
     h = x
     for i, layer in enumerate(layers):
-        h = _linear(layer, h)
+        h = _linear(layer, h, cfg.compute_dtype)
         if i < len(layers) - 1:
             h = _act(cfg, h, first=False)
     return jax.nn.sigmoid(h)
@@ -234,7 +243,7 @@ def apply_network(params, cfg: ModelConfig, xyz,
     feats = _trunk_features(params, cfg, xyz)
     out["sigma"] = _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
 
-    xyz_features = _linear(params["feats_from_xyz"][0], feats)
+    xyz_features = _linear(params["feats_from_xyz"][0], feats, cfg.compute_dtype)
     if cfg.input_sizes[1] > 0 and dirs is not None:
         enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1])
                    if cfg.mapping else dirs)
@@ -252,7 +261,7 @@ def apply_network(params, cfg: ModelConfig, xyz,
         beta_in = jnp.concatenate([xyz_features, t_emb], axis=-1)
         out["beta"] = _head(params, cfg, "beta_from_xyz", beta_in, final="softplus")
     if nr_lr and "grad_from_xyz" in params:
-        grad_lr = _linear(params["grad_from_xyz"][0], feats)
+        grad_lr = _linear(params["grad_from_xyz"][0], feats, cfg.compute_dtype)
         out["normal_lr"] = -l2_normalize(grad_lr)
 
     if apply_brdf:

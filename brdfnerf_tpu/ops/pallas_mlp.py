@@ -1,0 +1,192 @@
+"""Pallas fused MLP: the whole NeRF trunk + sigma head as ONE TPU kernel.
+
+The hot op of every render pass is the 8x512 skip-MLP evaluated over
+N_rays x N_samples points (SURVEY.md 3.1 hot loop).  Under plain XLA each
+layer's activations round-trip through HBM between matmuls; this kernel
+keeps ALL layer weights resident in VMEM for the kernel's lifetime and
+streams point blocks through the full layer stack, so HBM traffic is one
+read of the inputs + one write of the outputs + one read of the weights
+per grid pass.
+
+Design notes (pallas_guide.md):
+  * feature dims padded to 128 lanes; point blocks of TILE_N=512 rows
+  * the skip connection (trunk layer `skips[0]` re-reads the encoded
+    input, nerf.py:179-181) is algebraically split:
+        concat([enc, h]) @ W == enc @ W_top + h @ W_bot
+    so the kernel never concatenates — it runs two MXU calls on the
+    pre-split halves of that layer's weight matrix
+  * weights can be fed as bfloat16 (compute_dtype) with float32
+    accumulation via preferred_element_type
+  * forward-only: used on the no-grad render paths (sigma-only pass, the
+    analytic sun-visibility march, eval rendering).  Training backward
+    stays on XLA autodiff.
+
+Numerical parity with models.network._trunk_features + sigma head is
+tested to ~1e-5 (f32) in tests/test_pallas.py, on CPU via interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+
+TILE_N = 512
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_trunk_weights(params: Dict, cfg: ModelConfig,
+                       dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Flatten trunk + sigma head into padded dense matrices.
+
+    Returns dict with:
+      w0 (Ein_p, F), b0 (F,)
+      w_mid (L-2, F, F), b_mid (L-2, F)   -- non-skip layers 1..L-1
+      w_skip_top (Ein_p, F), w_skip_bot (F, F), b_skip (F,)
+      w_sigma (F, LANE), b_sigma (LANE,)  -- sigma head padded to lane width
+    Assumes exactly one skip layer (cfg.skips == (k,)), the reference
+    architecture (nerf.py:165).
+    """
+    assert len(cfg.skips) == 1, "fused kernel supports one skip layer"
+    skip = cfg.skips[0]
+    trunk = params["fc_net"]
+    feat = cfg.feat
+    ein = cfg.xyz_in_dim
+    ein_p = _round_up(ein, LANE)
+
+    def pad_w(w, rows, cols):
+        out = jnp.zeros((rows, cols), dtype)
+        return out.at[:w.shape[0], :w.shape[1]].set(w.astype(dtype))
+
+    packed: Dict[str, jnp.ndarray] = {}
+    packed["w0"] = pad_w(trunk[0]["w"], ein_p, feat)
+    packed["b0"] = trunk[0]["b"].astype(jnp.float32)
+
+    mids_w, mids_b = [], []
+    for i in range(1, cfg.layers):
+        layer = trunk[i]
+        if i == skip:
+            # rows [0:ein] act on enc, rows [ein:] on h (concat([enc, h]))
+            packed["w_skip_top"] = pad_w(layer["w"][:ein], ein_p, feat)
+            packed["w_skip_bot"] = layer["w"][ein:].astype(dtype)
+            packed["b_skip"] = layer["b"].astype(jnp.float32)
+        else:
+            mids_w.append(layer["w"].astype(dtype))
+            mids_b.append(layer["b"].astype(jnp.float32))
+    packed["w_mid"] = jnp.stack(mids_w)            # (L-2, F, F)
+    packed["b_mid"] = jnp.stack(mids_b)
+    sw = params["sigma_from_xyz"][0]
+    packed["w_sigma"] = pad_w(sw["w"], feat, LANE)
+    b_sig = jnp.zeros((LANE,), jnp.float32).at[0].set(
+        sw["b"][0].astype(jnp.float32))
+    packed["b_sigma"] = b_sig
+    return packed
+
+
+def _trunk_kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref,
+                  wst_ref, wsb_ref, bs_ref, wsig_ref, bsig_ref,
+                  sigma_ref, feats_ref, *, layers: int, skip: int,
+                  siren: bool):
+    """One TILE_N block through the whole trunk + sigma head."""
+    x = x_ref[:]                                     # (TILE_N, Ein_p) f32
+
+    def act(z, first):
+        if siren:
+            w0 = 30.0 if first else 1.0
+            return jnp.sin(w0 * z)
+        return jnp.maximum(z, 0.0)
+
+    h = act(jnp.dot(x, w0_ref[:],
+                    preferred_element_type=jnp.float32) + b0_ref[:],
+            first=True)
+    mid_idx = 0
+    for i in range(1, layers):
+        if i == skip:
+            z = (jnp.dot(x, wst_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(h, wsb_ref[:], preferred_element_type=jnp.float32)
+                 + bs_ref[:])
+        else:
+            z = jnp.dot(h, wmid_ref[mid_idx],
+                        preferred_element_type=jnp.float32) + bmid_ref[mid_idx]
+            mid_idx += 1
+        h = act(z, first=False)
+    feats_ref[:] = h
+    sig = jnp.dot(h, wsig_ref[:],
+                  preferred_element_type=jnp.float32) + bsig_ref[:]
+    sigma_ref[:] = jax.nn.softplus(sig)
+
+
+def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
+                      interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate trunk + sigma for encoded points.
+
+    x_enc: (N, Ein) float32 encoded xyz.  Returns (sigma (N,), feats (N, F)).
+    N is padded up to TILE_N internally.  interpret=None auto-selects
+    interpreter mode on CPU backends (tests / debugging).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    packed = pack_trunk_weights(params, cfg, dtype)
+    n, ein = x_enc.shape
+    ein_p = _round_up(ein, LANE)
+    n_p = _round_up(max(n, TILE_N), TILE_N)
+    x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(x_enc)
+    feat = cfg.feat
+
+    grid = (n_p // TILE_N,)
+    kernel = functools.partial(_trunk_kernel, layers=cfg.layers,
+                               skip=cfg.skips[0], siren=cfg.siren)
+    block = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    sigma, feats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, ein_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            block((ein_p, feat)), block((feat,)),
+            block((cfg.layers - 2, feat, feat)),
+            block((cfg.layers - 2, feat)),
+            block((ein_p, feat)), block((feat, feat)), block((feat,)),
+            block((feat, LANE)), block((LANE,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_N, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, feat), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_p, feat), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
+      packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
+      packed["w_sigma"], packed["b_sigma"])
+    return sigma[:n, 0], feats[:n]
+
+
+def fused_sigma_fn(params: Dict, cfg: ModelConfig, xyz: jnp.ndarray,
+                   interpret=None) -> jnp.ndarray:
+    """Drop-in for models.network.sigma_fn on no-grad paths."""
+    from .encoding import positional_encoding
+    enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping \
+        else xyz
+    sigma, _ = fused_trunk_sigma(params, cfg, enc, interpret=interpret)
+    return sigma

@@ -212,9 +212,8 @@ def make_render_step(mcfg: ModelConfig, rcfg: RenderConfig, mesh=None,
     def fn(params, inp: RenderInputs, key):
         return render_rays(params, mcfg, rcfg, inp, key, train=train)
 
-    if mesh is None:
-        return jax.jit(fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(fn, in_shardings=(repl, data, repl))
+    # with a mesh, partitioning is driven by the committed shardings of the
+    # arguments (params replicated, ray arrays sharded on axis 0 via
+    # mesh.shard_batch) — explicit in_shardings would mis-annotate the
+    # scalar fields of RenderInputs
+    return jax.jit(fn)

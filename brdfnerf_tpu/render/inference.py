@@ -92,11 +92,21 @@ def inference_shadow(params, mcfg: ModelConfig, rcfg: RenderConfig,
 
 def sigma_pass(params, mcfg: ModelConfig, rcfg: RenderConfig,
                rays_o, rays_d, z_vals, key=None) -> Dict:
-    """sigma_only=True pass (spsbrdfnerf.py:127-136)."""
-    from ..models.network import sigma_fn
+    """sigma_only=True pass (spsbrdfnerf.py:127-136).
+
+    With rcfg.use_pallas the trunk runs through the fused Pallas kernel —
+    legal even under jax.grad because every consumer of this pass applies
+    stop_gradient (render.py _guided / sun-march)."""
     n_rays, n_samples = z_vals.shape
     xyz = _flat_points(rays_o, rays_d, z_vals).reshape(-1, 3)
-    sigmas = sigma_fn(params, mcfg, xyz).reshape(n_rays, n_samples)
+    if rcfg.use_pallas:
+        from ..ops.pallas_mlp import fused_sigma_fn
+        sigmas = fused_sigma_fn(
+            jax.lax.stop_gradient(params), mcfg,
+            jax.lax.stop_gradient(xyz)).reshape(n_rays, n_samples)
+    else:
+        from ..models.network import sigma_fn
+        sigmas = sigma_fn(params, mcfg, xyz).reshape(n_rays, n_samples)
     alphas, transparency, weights, depth = composite(
         z_vals, sigmas, rcfg.noise_std, key)
     return {"sigmas": sigmas[..., None], "depth": depth, "alphas": alphas,
@@ -262,6 +272,14 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
             else:
                 rc = None
             brdf, m1, g, h, ci, cv = rpv_brdf(pts2l, pts2c, nrm, alb, k, th, rc)
+            ns_b = n_samples if mcfg.multi_brdf else 1
+            result.update(
+                brdf=brdf.reshape(n_rays, ns_b, 3),
+                rpv_M1=m1.reshape(n_rays, ns_b, -1),
+                rpv_F=g.reshape(n_rays, ns_b, -1),
+                rpv_H=h.reshape(n_rays, ns_b, -1),
+                rpv_ci=ci.reshape(n_rays, ns_b, 1),
+                rpv_cv=cv.reshape(n_rays, ns_b, 1))
             if mcfg.func_m:
                 result["rpv_k"] = out["rpv_k"].reshape(n_rays, n_samples, 3)
             if mcfg.func_f:

@@ -261,6 +261,32 @@ class Trainer:
                     outs.setdefault(k2, []).append(v[:chunk - pad if pad else chunk])
         return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
 
+    def _save_cross_section(self, sample: Dict, epoch: int,
+                            chunk: int = 4096):
+        """Mid-row diagnostic dump: z_vals / sigma / alpha / T for every
+        pixel of the middle image row (main.py:567-595 analog)."""
+        from .render.render import RenderInputs
+        h, w = sample["h"], sample["w"]
+        row = h // 2
+        rays = sample["rays"][row * w:(row + 1) * w]
+        fn = make_render_step(self.cfg.model, self.cfg.render)
+        inp = RenderInputs(rays=jnp.asarray(rays),
+                           ts=jnp.zeros(rays.shape[0], jnp.int32),
+                           cos_irra_on=jnp.asarray(False))
+        res = fn(self.state.params, inp, jax.random.PRNGKey(0))
+        path = os.path.join(self.paths.logs_dir,
+                            f"cross_epoch{epoch}.txt")
+        z = np.asarray(res["z_vals_coarse"])
+        sig = np.asarray(res["sigmas_coarse"])[..., 0]
+        alpha = np.asarray(res["alphas_coarse"])
+        trans = np.asarray(res["transparency_coarse"])
+        with open(path, "w") as f:
+            f.write("# col sample z sigma alpha transparency\n")
+            for c in range(0, z.shape[0], max(1, z.shape[0] // 64)):
+                for sidx in range(z.shape[1]):
+                    f.write(f"{c} {sidx} {z[c, sidx]:.6f} {sig[c, sidx]:.6f}"
+                            f" {alpha[c, sidx]:.6f} {trans[c, sidx]:.6f}\n")
+
     def validate(self, epoch: int) -> Dict[str, float]:
         ds = self.val_dataset
         all_scalars = {}
@@ -268,6 +294,24 @@ class Trainer:
             s = ds.get_image(idx)
             out = self.render_image(s)
             h, w = s["h"], s["w"]
+            if s.get("save_cross"):
+                try:
+                    self._save_cross_section(s, epoch)
+                except Exception as e:
+                    print(f"[val] cross-section dump failed: {e}")
+            try:
+                from .utils import viz
+                panel = viz.image_stack([
+                    (np.clip(out["rgb_coarse"].reshape(h, w, 3), 0, 1)
+                     * 255).astype(np.uint8),
+                    (np.clip(s["rgbs"].reshape(h, w, 3), 0, 1)
+                     * 255).astype(np.uint8),
+                    viz.depth_to_rgb(out["depth_coarse"], h, w)])
+                viz.save_png(os.path.join(
+                    self.paths.logs_dir,
+                    f"val_{idx}_epoch{epoch}.png"), panel)
+            except Exception as e:
+                print(f"[val] panel save failed: {e}")
             rgb = out["rgb_coarse"].reshape(h, w, 3)
             gt = s["rgbs"].reshape(h, w, 3)
             mask = s.get("mask")

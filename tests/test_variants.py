@@ -1,0 +1,132 @@
+"""Every model family trains end-to-end: nerf / s-nerf / sat-nerf /
+sps-nerf / spsbrdf-nerf (Microfacet, RPV, Hapke branches), mirroring the
+reference's model zoo (models/*.py) and render orchestration per variant
+(rendering.py:168-334)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synth_aoi import build_aoi
+from brdfnerf_tpu.config import (ModelConfig, RenderConfig, TrainConfig,
+                                 RunConfig)
+from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+from brdfnerf_tpu.train import Trainer, TrainerPaths
+from brdfnerf_tpu.models.network import model_config_for_variant
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    aoi = build_aoi(str(tmp_path_factory.mktemp("synth_aoi_var")))
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    return SatelliteDataset(cfg, split="train").store
+
+
+def _small(mcfg: ModelConfig) -> ModelConfig:
+    import dataclasses as dc
+    return dc.replace(mcfg, layers=4, feat=64, skips=(2,))
+
+
+def _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=40):
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
+                         ckpts_dir=str(tmp_path / "c"))
+    tr = Trainer(cfg, store, paths, seed=0)
+    # gate-dependent loss terms (normal reg, hard surface) activate after
+    # step/epoch thresholds, so compare against an early post-gate step,
+    # not step 0
+    first = tr.fit(max_steps=6, log_every=1, progress=False)
+    last = tr.fit(max_steps=steps, log_every=steps, progress=False)
+    assert np.isfinite(last["loss"]), last
+    assert last["loss"] < first["loss"], (first["loss"], last["loss"])
+    # PSNR may wobble early while non-color loss terms dominate (BRDF
+    # parameters adapting); guard only against collapse
+    assert last["psnr"] > first["psnr"] - 2.0, (first["psnr"], last["psnr"])
+    return tr, last
+
+
+def test_vanilla_nerf(store, tmp_path):
+    mcfg = _small(model_config_for_variant("nerf"))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0)
+    _fit(store, mcfg, rcfg,
+         TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40),
+         tmp_path)
+
+
+def test_nerf_with_fine_model(store, tmp_path):
+    mcfg = _small(model_config_for_variant("nerf"))
+    rcfg = RenderConfig(n_samples=8, n_importance=4, guided_samples=0)
+    tr, last = _fit(store, mcfg, rcfg,
+                    TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40),
+                    tmp_path)
+    assert "fine" in tr.state.params
+
+
+def test_snerf_solar_correction(store, tmp_path):
+    mcfg = _small(model_config_for_variant("s-nerf"))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0)
+    _fit(store, mcfg, rcfg,
+         TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40,
+                     sc_lambda=0.05),
+         tmp_path)
+
+
+def test_satnerf_beta_uncertainty(store, tmp_path):
+    mcfg = _small(model_config_for_variant("sat-nerf"))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0)
+    # beta loss activates after the warmup epoch (main.py:237-238)
+    _fit(store, mcfg, rcfg,
+         TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40,
+                     first_beta_epoch=0),
+         tmp_path)
+
+
+def test_spsnerf_guided(store, tmp_path):
+    mcfg = _small(model_config_for_variant("sps-nerf"))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8)
+    _fit(store, mcfg, rcfg,
+         TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40,
+                     ds_lambda=10.0, first_beta_epoch=0),
+         tmp_path)
+
+
+@pytest.mark.parametrize("brdf", ["microfacet", "rpv", "hapke"])
+def test_spsbrdf_branches(store, tmp_path, brdf):
+    kw = dict(variant="spsbrdf-nerf", siren=True, mapping=True,
+              normal="analystic", layers=4, feat=64, skips=(2,))
+    if brdf == "microfacet":
+        kw.update(roughness=True)
+    elif brdf == "rpv":
+        kw.update(func_m=True, func_f=True, func_h=1)
+    else:
+        kw.update(hapke_b=True, hapke_c=True, hapke_theta=True)
+    mcfg = ModelConfig(**kw)
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True,
+                        apply_theta=(brdf == "hapke"))
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=30,
+                       ds_lambda=10.0, brdf_on=0.0,
+                       nr_reg_an_lambda=0.1)
+    _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
+
+
+def test_spsbrdf_multibrdf_and_sun_march(store, tmp_path):
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="analystic",
+                       func_m=True, func_f=True, func_h=1, multi_brdf=True,
+                       layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=30,
+                       ds_lambda=10.0, brdf_on=0.0)
+    _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
+
+
+def test_gsam_only_mode(store, tmp_path):
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, gsam_only=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=30,
+                       ds_lambda=10.0)
+    _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
