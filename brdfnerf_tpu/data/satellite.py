@@ -544,21 +544,64 @@ class SatelliteDataset:
 
 # --------------------------------------------- sparse keypoint depth (sat-nerf)
 
+def _keypoint_weights(json_files: List[str], pts3d: np.ndarray,
+                      aoi_id: str = "", mod_alt_bound: bool = False
+                      ) -> np.ndarray:
+    """Per-tie-point confidence from bundle-adjustment reprojection errors:
+    w_p = exp(-(e_p / mean(e))^2) with e_p summed over observing cameras
+    (satellite_depth.py:103-129).  pts3d here are ECEF (the BA output
+    convention)."""
+    from ..geo.geodesy import ecef_to_latlon
+    n_pts = pts3d.shape[0]
+    errors = np.zeros((n_pts, len(json_files)), np.float64)
+    for t, json_p in enumerate(json_files):
+        d = read_meta_json(json_p, aoi_id, mod_alt_bound)
+        kp = d["keypoints"]
+        idx = np.asarray(kp.get("pts3d_indices", kp.get("pts_indices")),
+                         np.int64)
+        obs = np.asarray(kp["2d_coordinates"], np.float64)
+        rpc = rpc_mod.rpc_from_dict(d["rpc"])
+        lat, lon, alt = ecef_to_latlon(pts3d[idx, 0], pts3d[idx, 1],
+                                       pts3d[idx, 2])
+        col, row = rpc_mod.projection_np(rpc, lon, lat, alt)
+        errors[idx, t] = np.linalg.norm(
+            obs - np.stack([col, row], -1), axis=1)
+    e = errors.sum(axis=1)
+    return np.exp(-(e / max(e.mean(), 1e-12)) ** 2)
+
+
 def load_sparse_depth(json_files: List[str], root_dir: str, scene: SceneLoc,
                       img_downscale: float = 1.0, cs: str = "utm",
                       aoi_id: str = "", mod_alt_bound: bool = False):
     """Bundle-adjustment keypoint depth supervision (SatelliteDataset_depth,
     datasets/satellite_depth.py:46-129): rays at keypoint pixels, depth =
-    |pts3d_norm - o|, weights exp(-(e/ebar)^2) from reprojection errors."""
-    pts3d = np.load(os.path.join(root_dir, "pts3d.npy"))   # (P, 3)
-    tie_per_ray, rays_l, depths_l = [], [], []
+    |pts3d_norm - o|, weights exp(-(e/ebar)^2) from reprojection errors.
+    pts3d.npy holds ECEF tie points (the sat-bundleadjust convention); when
+    cs == 'utm' they are converted before normalization."""
+    pts3d_ecef = np.load(os.path.join(root_dir, "pts3d.npy"))   # (P, 3)
+    if cs == "utm":
+        from ..geo.geodesy import ecef_to_latlon, utm_from_latlon
+        lat, lon, alt = ecef_to_latlon(pts3d_ecef[:, 0], pts3d_ecef[:, 1],
+                                       pts3d_ecef[:, 2])
+        e, n = utm_from_latlon(lat, lon)
+        pts3d = np.stack([e, n, alt], -1)
+    else:
+        pts3d = pts3d_ecef
+    try:
+        kp_w = _keypoint_weights(json_files, pts3d_ecef, aoi_id,
+                                 mod_alt_bound)
+    except (KeyError, ValueError):
+        kp_w = np.ones(pts3d.shape[0])
+    tie_per_ray, rays_l, depths_l, weights_l = [], [], [], []
     kp_idx_per_img = []
     for t, json_p in enumerate(json_files):
         d = read_meta_json(json_p, aoi_id, mod_alt_bound)
         if "keypoints" not in d:
             raise FileNotFoundError(f"no keypoints in {json_p}")
-        pix = np.asarray(d["keypoints"]["2d_coordinates"], np.float64)
-        idx = np.asarray(d["keypoints"]["pts_indices"], np.int64)
+        kp = d["keypoints"]
+        pix = np.asarray(kp["2d_coordinates"], np.float64)
+        idx = np.asarray(kp.get("pts3d_indices", kp.get("pts_indices")),
+                         np.int64)
         rpc = rpc_mod.rescale_rpc(rpc_mod.rpc_from_dict(d["rpc"]),
                                   1.0 / img_downscale)
         rays = get_rays_np(pix[:, 0] / img_downscale, pix[:, 1] / img_downscale,
@@ -568,14 +611,12 @@ def load_sparse_depth(json_files: List[str], root_dir: str, scene: SceneLoc,
         depth = np.linalg.norm(p3 - rays[:, 0:3], axis=1)
         rays_l.append(rays)
         depths_l.append(depth)
+        weights_l.append(kp_w[idx].astype(np.float32))
         kp_idx_per_img.append(idx)
         tie_per_ray.append(np.full(rays.shape[0], t, np.int32))
-        # current-ray 3D error weights need all observations; approximate
-        # the reference's exp(-(e/ebar)^2) with uniform weights when
-        # reprojection errors are absent from the JSON
     rays = np.concatenate(rays_l, 0)
     depths = np.concatenate(depths_l, 0)
     ts = np.concatenate(tie_per_ray, 0)
-    weights = np.ones_like(depths)
+    weights = np.concatenate(weights_l, 0)
     return {"rays": rays, "depths": np.stack([depths, weights], 1),
             "ts": ts, "kp_indices": np.concatenate(kp_idx_per_img, 0)}

@@ -70,15 +70,19 @@ def _init_mlp(key, sizes, siren_weights: bool = False):
 
 
 def _linear(p, x, compute_dtype: str = "float32"):
-    """Dense layer.  In bf16 mode both operands feed the MXU as bfloat16
-    with float32 accumulation (preferred_element_type) — the TPU-native
-    mixed-precision recipe; bias add stays float32."""
-    if compute_dtype == "bfloat16":
+    """Dense layer.  'bfloat16': operands feed the MXU as bf16 with f32
+    accumulation and f32 output (mixed-precision, f32 activation storage).
+    'bfloat16_all': output is rounded to bf16 too — halves the inter-layer
+    activation traffic through HBM, the train step's actual bottleneck
+    (bytes-bound, not FLOP-bound: see bench ablations)."""
+    if compute_dtype in ("bfloat16", "bfloat16_all"):
+        out_dt = (jnp.bfloat16 if compute_dtype == "bfloat16_all"
+                  else jnp.float32)
         y = jax.lax.dot_general(
             x.astype(jnp.bfloat16), p["w"].astype(jnp.bfloat16),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return y + p["b"]
+            preferred_element_type=out_dt)
+        return y + p["b"].astype(out_dt)
     return x @ p["w"] + p["b"]
 
 
@@ -172,13 +176,25 @@ def init_t_embedding(key, vocab: int, dim: int):
 # ------------------------------------------------------------------ forward
 
 def _trunk_features(params, cfg: ModelConfig, xyz):
-    """Encoded xyz -> shared features (calc_features, spsbrdfnerf.py:636-646)."""
+    """Encoded xyz -> shared features (calc_features, spsbrdfnerf.py:636-646).
+
+    The skip layer's concat([enc, h]) @ W is evaluated as the algebraically
+    identical enc @ W[:E] + h @ W[E:]: no (N, feat+E) buffer materializes
+    and both matmuls keep MXU-aligned contraction dims."""
     enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping else xyz
+    e_dim = enc.shape[-1]
     h = enc
     for i, layer in enumerate(params["fc_net"]):
         if i in cfg.skips:
-            h = jnp.concatenate([enc, h], axis=-1)
-        h = _act(cfg, _linear(layer, h, cfg.compute_dtype), first=(i == 0))
+            top = {"w": layer["w"][:e_dim], "b": layer["b"]}
+            bot = {"w": layer["w"][e_dim:],
+                   "b": jnp.zeros_like(layer["b"])}
+            z = _linear(top, enc, cfg.compute_dtype) \
+                + _linear(bot, h, cfg.compute_dtype)
+            h = _act(cfg, z, first=False)
+        else:
+            h = _act(cfg, _linear(layer, h, cfg.compute_dtype),
+                     first=(i == 0))
     return h
 
 
@@ -195,7 +211,9 @@ def _head(params, cfg: ModelConfig, name, x, final=None, act_relu=False):
         h = jax.nn.sigmoid(h)
     elif final == "softplus":
         h = jax.nn.softplus(h)
-    return h
+    # head outputs re-enter f32 compositing/BRDF math regardless of the
+    # trunk's activation storage dtype
+    return h.astype(jnp.float32)
 
 
 def _sun_v_head(params, cfg: ModelConfig, feats, sun_d):
@@ -207,7 +225,7 @@ def _sun_v_head(params, cfg: ModelConfig, feats, sun_d):
         h = _linear(layer, h, cfg.compute_dtype)
         if i < len(layers) - 1:
             h = _act(cfg, h, first=False)
-    return jax.nn.sigmoid(h)
+    return jax.nn.sigmoid(h).astype(jnp.float32)
 
 
 def sigma_fn(params, cfg: ModelConfig, xyz):
@@ -222,7 +240,7 @@ def analytic_normals(params, cfg: ModelConfig, xyz):
     valid because sigma at a point depends only on that point's xyz, and
     differentiable end-to-end (grad-of-grad handled by JAX)."""
     grad = jax.grad(lambda x: jnp.sum(sigma_fn(params, cfg, x)))(xyz)
-    return -l2_normalize(grad)
+    return -l2_normalize(grad.astype(jnp.float32))
 
 
 def apply_network(params, cfg: ModelConfig, xyz,
@@ -262,7 +280,7 @@ def apply_network(params, cfg: ModelConfig, xyz,
         out["beta"] = _head(params, cfg, "beta_from_xyz", beta_in, final="softplus")
     if nr_lr and "grad_from_xyz" in params:
         grad_lr = _linear(params["grad_from_xyz"][0], feats, cfg.compute_dtype)
-        out["normal_lr"] = -l2_normalize(grad_lr)
+        out["normal_lr"] = -l2_normalize(grad_lr.astype(jnp.float32))
 
     if apply_brdf:
         def tile3(v):

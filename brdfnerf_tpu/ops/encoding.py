@@ -6,11 +6,43 @@ peculiarity is that the **identity term is excluded** from the output
 ``2 * n_freqs * in_ch``.  Frequency bands are 2**k for k in [0, n_freqs)
 (logscale, nerf.py:48-49); per frequency the order is [sin, cos], each over
 all input channels, concatenated along the last axis (nerf.py:65-68).
+
+TPU-native formulation: the naive broadcast (..., F, C) intermediates have
+a C(=3)-wide minor dimension — every elementwise op on them runs at 3/128
+lane efficiency and the final reshape forces a relayout, which measured as
+~4x the cost of the whole 8x512 trunk.  Instead the encoding is ONE widening
+matmul plus a phase-shifted sine:
+
+    enc = sin(x @ P + phase),  cos(z) = sin(z + pi/2)
+
+where P (C, 2FC) places 2^f at each [sin, cos] slot and phase adds pi/2 on
+the cos slots.  All ops run on the (..., 2FC) layout.
 """
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache
+
+import numpy as np
+
 import jax.numpy as jnp
+
+
+@lru_cache(maxsize=None)
+def _proj_and_phase(n_freqs: int, in_ch: int):
+    """NumPy constants only — caching jnp arrays would leak tracers when
+    the first call happens under jit."""
+    width = 2 * n_freqs * in_ch
+    p = np.zeros((in_ch, width), np.float32)
+    phase = np.zeros((width,), np.float32)
+    for f in range(n_freqs):
+        base = f * 2 * in_ch
+        for c in range(in_ch):
+            p[c, base + c] = 2.0 ** f              # sin slot
+            p[c, base + in_ch + c] = 2.0 ** f      # cos slot
+            phase[base + in_ch + c] = math.pi / 2.0
+    return p, phase
 
 
 def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
@@ -21,8 +53,5 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     """
     if n_freqs == 0:
         return x
-    freqs = jnp.asarray([2.0 ** k for k in range(n_freqs)], dtype=x.dtype)
-    # (..., F, C)
-    xb = x[..., None, :] * freqs[:, None]
-    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)  # (..., F, 2C)
-    return enc.reshape(*x.shape[:-1], 2 * n_freqs * x.shape[-1])
+    p, phase = _proj_and_phase(n_freqs, x.shape[-1])
+    return jnp.sin(x @ jnp.asarray(p, x.dtype) + jnp.asarray(phase, x.dtype))

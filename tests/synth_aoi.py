@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from brdfnerf_tpu.utils.geotiff import write_geotiff, GeoProfile, utm_epsg
-from brdfnerf_tpu.geo.geodesy import utm_from_latlon
+from brdfnerf_tpu.geo.geodesy import utm_from_latlon, latlon_to_ecef
 
 LAT0, LON0 = 48.0, 2.0
 ALT0 = 100.0
@@ -61,12 +61,22 @@ def localize_affine(rpc_d, cols, rows, alt):
 
 
 def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
-              depth_subdir: str = "DenseDepth_ZM4"):
+              depth_subdir: str = "DenseDepth_ZM4",
+              with_keypoints: bool = False):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
     tilts = [(0.0, 0.0), (0.15, 0.05), (-0.1, 0.12), (0.05, -0.15)]
     names = []
+    # shared bundle-adjustment tie points on the terrain (ECEF, the BA
+    # convention): a coarse grid in the common footprint
+    kp_c, kp_r = np.meshgrid(np.arange(4, W - 4, 4), np.arange(4, H - 4, 4))
+    kp_lon, kp_lat = localize_affine(affine_rpc_dict(), kp_c.ravel(),
+                                     kp_r.ravel(), ALT0)
+    kp_ecef = np.stack(latlon_to_ecef(kp_lat, kp_lon,
+                                      np.full_like(kp_lat, ALT0)), -1)
+    if with_keypoints:
+        np.save(os.path.join(root, "pts3d.npy"), kp_ecef)
     for i in range(n_train + n_test):
         rpc_d = affine_rpc_dict(*tilts[i % len(tilts)])
         img_name = f"img_{i:02d}.tif"
@@ -80,6 +90,16 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
         meta = dict(img=img_name, height=H, width=W, rpc=rpc_d,
                     min_alt=MIN_ALT, max_alt=MAX_ALT,
                     sun_elevation=55.0, sun_azimuth=140.0 + 5 * i)
+        if with_keypoints:
+            # project the shared tie points into this image (exact affine
+            # inverse => zero reprojection error)
+            from brdfnerf_tpu.geo import rpc as rpc_mod
+            rpc_obj = rpc_mod.rpc_from_dict(rpc_d)
+            col, row = rpc_mod.projection_np(
+                rpc_obj, kp_lon, kp_lat, np.full_like(kp_lon, ALT0))
+            meta["keypoints"] = {
+                "2d_coordinates": np.stack([col, row], -1).tolist(),
+                "pts3d_indices": list(range(len(kp_lon)))}
         jname = f"img_{i:02d}.json"
         with open(os.path.join(root, jname), "w") as f:
             json.dump(meta, f)

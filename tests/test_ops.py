@@ -24,7 +24,9 @@ def test_positional_encoding_matches_reference_layout():
         expected.append(np.sin(f * x))
         expected.append(np.cos(f * x))
     expected = np.concatenate(expected, axis=-1)
-    np.testing.assert_allclose(enc, expected, rtol=1e-6)
+    # atol: cos is evaluated as sin(z + pi/2) on TPU-friendly layout,
+    # which differs from np.cos by float32 rounding of the phase add
+    np.testing.assert_allclose(enc, expected, rtol=1e-5, atol=1e-6)
 
 
 def test_composite_single_slab_analytic():

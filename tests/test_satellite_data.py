@@ -114,3 +114,27 @@ def test_rpc_np_matches_jnp(aoi):
                                         jnp.asarray(rows), 100.0)
     np.testing.assert_allclose(np.asarray(lon32), lon64, atol=2e-5)
     np.testing.assert_allclose(np.asarray(lat32), lat64, atol=2e-5)
+
+
+def test_sparse_keypoint_depth(tmp_path):
+    """sat-nerf keypoint depth supervision (satellite_depth.py): exact
+    affine geometry -> zero reprojection error -> weights == 1; depths
+    match the flat-terrain fraction."""
+    from synth_aoi import build_aoi as _build
+    from brdfnerf_tpu.data.satellite import (load_sparse_depth,
+                                             load_or_create_scene_loc)
+    aoi = _build(str(tmp_path / "kp"), with_keypoints=True)
+    scene = load_or_create_scene_loc(aoi["root"], stride=2)
+    files = [f"{aoi['root']}/img_{i:02d}.json" for i in range(2)]
+    out = load_sparse_depth(files, aoi["root"], scene)
+    n = out["rays"].shape[0]
+    assert out["depths"].shape == (n, 2)
+    # weights are exp(-(e/mean(e))^2): RELATIVE to the mean reprojection
+    # error (satellite_depth.py:126-129), so even ~cm roundtrip noise
+    # spreads them over (0, 1] — assert the form, not a constant
+    w = out["depths"][:, 1]
+    assert (w > 0).all() and (w <= 1.0 + 1e-6).all()
+    assert w.max() > 0.9
+    frac = (MAX_ALT - ALT0) / (MAX_ALT - MIN_ALT)
+    np.testing.assert_allclose(out["depths"][:, 0],
+                               frac * out["rays"][:, 7], rtol=1e-3)
