@@ -57,7 +57,6 @@ def main():
     import optax
 
     mcfg, rcfg, tcfg = _flagship_configs(n_samples=N_SAMPLES, guided=GUIDED)
-    mcfg = dc.replace(mcfg, compute_dtype="bfloat16")
     key = jax.random.PRNGKey(0)
     state, opt = create_train_state(key, mcfg, tcfg, steps_per_epoch=10000)
 

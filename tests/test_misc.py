@@ -20,7 +20,13 @@ def _make_blender_dir(root, n_frames=3, wh=64):
         ang = 2 * np.pi * i / n_frames
         c2w = np.eye(4)
         c2w[:3, 3] = [4 * np.cos(ang), 4 * np.sin(ang), 0.5]
-        img = (rng.uniform(0, 255, (wh, wh, 4))).astype(np.uint8)
+        # smooth, learnable RGB; noisy alpha mask for the blending test
+        yy, xx = np.mgrid[0:wh, 0:wh] / wh
+        img = np.zeros((wh, wh, 4))
+        img[..., 0] = 127 + 100 * np.sin(3 * xx + i)
+        img[..., 1] = 127 + 100 * np.cos(2 * yy - i)
+        img[..., 2] = 127 + 100 * np.sin(2 * xx + 2 * yy)
+        img = img.astype(np.uint8)
         img[..., 3] = (rng.uniform(0, 1, (wh, wh)) > 0.5) * 255
         p = f"train/r_{i}"
         Image.fromarray(img).save(os.path.join(root, p + ".png"))
@@ -108,3 +114,28 @@ def test_viz_helpers():
     feat = rng.uniform(0, 1, (h * w, 4, 3)).astype(np.float32)
     panel = viz.accumulate_feature(weights, feat, h, w)
     assert panel.shape == (h, w, 3)
+
+
+def test_blender_training_e2e(tmp_path):
+    """Vanilla NeRF on blender-format data (BASELINE config 1): overfit a
+    single image for a few steps; PSNR must rise."""
+    from brdfnerf_tpu.data.blender import BlenderDataset
+    from brdfnerf_tpu.config import (ModelConfig, RenderConfig, TrainConfig,
+                                     RunConfig)
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    from brdfnerf_tpu.models.network import model_config_for_variant
+
+    root = _make_blender_dir(str(tmp_path / "blender"), n_frames=1, wh=32)
+    ds = BlenderDataset(root, split="train", img_wh=(32, 32))
+    import dataclasses as dc
+    mcfg = dc.replace(model_config_for_variant("nerf"),
+                      layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0, use_sat_sun=False)
+    tcfg = TrainConfig(lr=5e-3, batch_size=256, max_train_steps=150)
+    tr = Trainer(RunConfig(model=mcfg, render=rcfg, train=tcfg),
+                 ds.train_store,
+                 TrainerPaths(logs_dir=str(tmp_path / "l"),
+                              ckpts_dir=str(tmp_path / "c")), seed=0)
+    first = tr.fit(max_steps=2, log_every=1, progress=False)
+    last = tr.fit(max_steps=150, log_every=150, progress=False)
+    assert last["psnr"] > first["psnr"] + 3.0, (first["psnr"], last["psnr"])
