@@ -118,6 +118,9 @@ def train_parser() -> argparse.ArgumentParser:
                         "guided sampling (satellite_rgb_dep.py:407-408)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices (0 = single device; N builds "
+                        "a 1-D ray-sharding mesh over the first N devices)")
     return p
 
 

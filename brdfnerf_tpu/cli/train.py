@@ -44,10 +44,15 @@ def main(argv=None):
         val_ds = SatelliteDataset(sat_cfg, split="val")
         store = train_ds.store
 
+    mesh = None
+    if getattr(args, "n_devices", 0):
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.n_devices)
+
     ckpts_dir = os.path.join(args.ckpts_dir, args.exp_name)
     paths = TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir,
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
-    trainer = Trainer(cfg, store, paths, val_dataset=val_ds,
+    trainer = Trainer(cfg, store, paths, val_dataset=val_ds, mesh=mesh,
                       seed=args.seed, use_tb=args.tensorboard,
                       in_ckpts=args.in_ckpts, resume_from=args.ckpt_path)
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,

@@ -133,9 +133,19 @@ class Trainer:
         self.t_gsam_only = tcfg.gsam_only_on * self.max_steps
         self.t_ds_drop = tcfg.ds_drop * self.max_steps
 
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            self.state = replicate(mesh, self.state)
+
         self._step_fns: Dict[Any, Any] = {}
         self._render_fn = None
         self._key = jax.random.PRNGKey(seed + 1)
+
+    def _place_batch(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            from .parallel.mesh import shard_batch
+            return shard_batch(self.mesh, batch)
+        return batch_to_device(batch)
 
     # ---------------------------------------------------------- step fns
 
@@ -185,11 +195,15 @@ class Trainer:
                     self._on_epoch_end(epoch, eval_every_n_epochs,
                                        save_ckpt_every_n_epochs)
                 epoch = new_epoch
-            batch = batch_to_device(self.batcher.next_batch())
+            batch = self._place_batch(self.batcher.next_batch())
             self._key, k = jax.random.split(self._key)
             step_fn = self._get_step_fn(self._static_phase(step))
-            self.state, metrics = step_fn(self.state, batch, k,
-                                          self._gates(step, epoch))
+            gates = self._gates(step, epoch)
+            if self.mesh is not None:
+                from .parallel.mesh import replicate
+                gates = replicate(self.mesh, gates)
+                k = replicate(self.mesh, k)
+            self.state, metrics = step_fn(self.state, batch, k, gates)
             if step % log_every == 0 or step == max_steps - 1:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.perf_counter() - t0

@@ -99,3 +99,31 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(sharded["depth_coarse"]),
                                np.asarray(single["depth_coarse"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_trainer_with_mesh(tmp_path):
+    """Trainer drives the sharded step end-to-end over the 8-device mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_aoi import build_aoi
+    from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+    from brdfnerf_tpu.config import RunConfig, TrainConfig
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+
+    aoi = build_aoi(str(tmp_path / "aoi"))
+    ds = SatelliteDataset(
+        SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                        scene_loc_stride=2), split="train")
+    mcfg, rcfg, tcfg = _cfg()
+    cfg = RunConfig(model=mcfg, render=rcfg,
+                    train=TrainConfig(lr=1e-3, batch_size=128,
+                                      max_train_steps=20, ds_lambda=10.0))
+    mesh = make_mesh(8)
+    tr = Trainer(cfg, ds.store,
+                 TrainerPaths(logs_dir=str(tmp_path / "l"),
+                              ckpts_dir=str(tmp_path / "c")),
+                 mesh=mesh, seed=0)
+    first = tr.fit(max_steps=2, log_every=1, progress=False)
+    last = tr.fit(max_steps=20, log_every=20, progress=False)
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"]
