@@ -67,3 +67,38 @@ def test_nr_spv_type_derivation():
         ["--root_dir", "/tmp", "--exp_name", "x",
          "--normal", "analystic"]))
     assert args.nr_spv_type == 3                      # opt.py:328-334
+
+
+def test_depth_qa_cli(aoi, capsys):
+    """Supervision-source QA: flat-terrain depth triplets vs flat GT -> ~0."""
+    from brdfnerf_tpu.cli.depth_qa import depth_qa
+    res = depth_qa(aoi["root"], aoi["gt_dir"], aoi["aoi_id"])
+    assert len(res) == 3          # one per image with depth files
+    assert all(v < 0.05 for v in res.values()), res
+
+
+def test_create_dsm_cli(aoi, tmp_path):
+    """Train briefly via the CLI, then extract the most-nadir DSM."""
+    import os
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.create_dsm import main as dsm_main
+
+    logs = str(tmp_path / "logs")
+    ckpts = str(tmp_path / "ckpts")
+    assert train_main([
+        "--model", "sps-nerf", "--exp_name", "dsm_smoke",
+        "--root_dir", aoi["root"], "--logs_dir", logs,
+        "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+        "--aoi_id", aoi["aoi_id"],
+        "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "8",
+        "--batch_size", "256", "--max_train_steps", "30",
+        "--ds_lambda", "10", "--lr", "1e-3",
+        "--eval_every_n_epochs", "1000"]) == 0
+    ckpt_dir = os.path.join(ckpts, "dsm_smoke")
+    last = max(int(f[len("epoch="):-len(".npz")])
+               for f in os.listdir(ckpt_dir) if f.startswith("epoch="))
+    assert dsm_main(["--logs_dir", os.path.join(logs, "dsm_smoke"),
+                     "--epoch_number", str(last)]) == 0
+    out_dir = os.path.join(logs, "dsm_smoke", f"dsm_epoch{last}")
+    assert any(f.endswith("_dsm.tif") for f in os.listdir(out_dir))
