@@ -74,6 +74,10 @@ class ModelConfig:
     # (preferred_element_type) — ~4x the f32 MXU peak on v5e; activations
     # and all transcendental/compositing math stay float32.
     compute_dtype: str = "float32"
+    # TPU-native: polynomial sine for siren activations (ops/fast_math.py):
+    # ~2.7x on the VPU-bound trunk at 1.7e-5 abs error.  False = exact
+    # jnp.sin for strict parity studies.
+    fast_sin: bool = True
 
     @property
     def rpv(self) -> bool:

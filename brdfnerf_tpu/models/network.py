@@ -91,6 +91,9 @@ def _linear(p, x, compute_dtype: str = "float32"):
 def _act(cfg: ModelConfig, x, first: bool = False):
     if cfg.siren:
         w0 = 30.0 if first else 1.0          # nerf.py:23-33,191
+        if cfg.fast_sin:
+            from ..ops.fast_math import fast_sin
+            return fast_sin(w0 * x)
         return jnp.sin(w0 * x)
     return jax.nn.relu(x)
 

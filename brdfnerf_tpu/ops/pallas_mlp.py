@@ -99,13 +99,16 @@ def pack_trunk_weights(params: Dict, cfg: ModelConfig,
 def _trunk_kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref,
                   wst_ref, wsb_ref, bs_ref, wsig_ref, bsig_ref,
                   sigma_ref, feats_ref, *, layers: int, skip: int,
-                  siren: bool):
+                  siren: bool, use_fast_sin: bool):
     """One TILE_N block through the whole trunk + sigma head."""
     x = x_ref[:]                                     # (TILE_N, Ein_p) f32
 
     def act(z, first):
         if siren:
             w0 = 30.0 if first else 1.0
+            if use_fast_sin:
+                from .fast_math import fast_sin
+                return fast_sin(w0 * z)
             return jnp.sin(w0 * z)
         return jnp.maximum(z, 0.0)
 
@@ -150,7 +153,8 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
 
     grid = (n_p // TILE_N,)
     kernel = functools.partial(_trunk_kernel, layers=cfg.layers,
-                               skip=cfg.skips[0], siren=cfg.siren)
+                               skip=cfg.skips[0], siren=cfg.siren,
+                               use_fast_sin=cfg.fast_sin)
     block = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     sigma, feats = pl.pallas_call(

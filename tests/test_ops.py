@@ -122,3 +122,17 @@ def test_l2_normalize_unit_and_safe_at_zero():
     y = np.asarray(l2_normalize(x))
     np.testing.assert_allclose(np.linalg.norm(y[0]), 1.0, rtol=1e-6)
     assert np.isfinite(y).all()
+
+
+def test_fast_sin_accuracy():
+    """Polynomial sine: max abs error < 2e-5 over a wide input range."""
+    from brdfnerf_tpu.ops.fast_math import fast_sin
+    x = jnp.asarray(np.random.RandomState(0).randn(100000) * 40,
+                    dtype=jnp.float32)
+    err = np.abs(np.asarray(fast_sin(x)) - np.sin(np.asarray(x, np.float64)))
+    assert err.max() < 3e-5, err.max()
+    # derivative approximates cos
+    import jax
+    g = jax.vmap(jax.grad(lambda v: fast_sin(v)))(x[:1000])
+    derr = np.abs(np.asarray(g) - np.cos(np.asarray(x[:1000], np.float64)))
+    assert derr.max() < 1e-3, derr.max()
