@@ -263,7 +263,38 @@ def apply_network(params, cfg: ModelConfig, xyz,
     out: Dict[str, jnp.ndarray] = {}
     feats = _trunk_features(params, cfg, xyz)
     out["sigma"] = _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
+    return _heads_from_feats(out, params, cfg, feats, dirs, sun_d, t_emb,
+                             apply_brdf, apply_theta, nr_lr)
 
+
+def apply_network_with_normals(params, cfg: ModelConfig, xyz,
+                               dirs=None, sun_d=None, t_emb=None,
+                               apply_brdf: bool = False,
+                               apply_theta: bool = False,
+                               nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
+    """apply_network + analytic density-gradient normals sharing ONE trunk
+    forward: value_and_grad(has_aux) gives sigma, feats, and grad_xyz sigma
+    in a single fwd+bwd instead of apply_network's forward plus a second
+    forward inside analytic_normals.  Differentiable end-to-end (the outer
+    loss grad sees one fwd+bwd pair to differentiate, not two forwards)."""
+    def trunk_sigma(x):
+        feats = _trunk_features(params, cfg, x)
+        sigma = _head(params, cfg, "sigma_from_xyz", feats,
+                      final="softplus")[..., 0]
+        return jnp.sum(sigma), (feats, sigma)
+
+    (_, (feats, sigma)), grad_x = jax.value_and_grad(
+        trunk_sigma, has_aux=True)(xyz)
+    out: Dict[str, jnp.ndarray] = {"sigma": sigma}
+    out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
+    return _heads_from_feats(out, params, cfg, feats, dirs, sun_d, t_emb,
+                             apply_brdf, apply_theta, nr_lr)
+
+
+def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
+                      dirs=None, sun_d=None, t_emb=None,
+                      apply_brdf: bool = False, apply_theta: bool = False,
+                      nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
     xyz_features = _linear(params["feats_from_xyz"][0], feats, cfg.compute_dtype)
     if cfg.input_sizes[1] > 0 and dirs is not None:
         enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1])

@@ -61,7 +61,12 @@ def sample_pdf(key, bins, weights, n_importance: int,
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(cdf, u, side='right') == #(cdf <= u): a broadcasted
+    # compare + sum ((N, U, B+1), ~4M lanes at production sizes) runs in
+    # microseconds on the VPU, where vmapped binary search lowered to
+    # ~7 ms of data-dependent control flow per call
+    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32),
+                   axis=-1)
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, n_bins)
 

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, RenderConfig
-from ..models.network import apply_network, analytic_normals
+from ..models.network import (apply_network, apply_network_with_normals,
+                              analytic_normals)
 from ..ops.compositing import composite, l2_normalize
 from ..brdf.rpv import rpv_brdf
 from ..brdf.hapke import hapke_brdf
@@ -133,10 +134,12 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
     t_flat = _expand(t_emb, n_samples)
 
     apply_brdf = rcfg.apply_brdf
-    out = apply_network(params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
-                        t_emb=t_flat, apply_brdf=apply_brdf,
-                        apply_theta=rcfg.apply_theta,
-                        nr_lr=mcfg.normal in ("analystic_learned", "learned"))
+    nr_an_needed = mcfg.normal in ("analystic", "analystic_learned")
+    net_fn = (apply_network_with_normals if nr_an_needed else apply_network)
+    out = net_fn(params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
+                 t_emb=t_flat, apply_brdf=apply_brdf,
+                 apply_theta=rcfg.apply_theta,
+                 nr_lr=mcfg.normal in ("analystic_learned", "learned"))
 
     albedo = out["rgb"].reshape(n_rays, n_samples, 3)
     sigmas = out["sigma"].reshape(n_rays, n_samples)
@@ -177,13 +180,13 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
     if mcfg.beta and "beta" in out:
         result["beta"] = out["beta"].reshape(n_rays, n_samples, 1)
 
-    # normals: analytic via density gradient, learned via head
+    # normals: analytic via density gradient (computed inside the shared
+    # trunk fwd+bwd above), learned via head
     nr_an_on = mcfg.normal in ("analystic", "analystic_learned")
     nr_lr_on = mcfg.normal in ("learned", "analystic_learned")
     normal = None
     if nr_an_on:
-        normal_an = analytic_normals(params, mcfg, xyz).reshape(
-            n_rays, n_samples, 3)
+        normal_an = out["normal_an"].reshape(n_rays, n_samples, 3)
         result["normal_an"] = normal_an
         normal = normal_an
     if nr_lr_on and "normal_lr" in out:
