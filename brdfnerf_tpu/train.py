@@ -121,7 +121,14 @@ class Trainer:
         if resume_from:
             params = ckpt.restore_params(self.state.params, resume_from)
             step = ckpt.checkpoint_step(resume_from)
-            self.state = TrainState(params, self.opt.init(params),
+            opt_state = self.opt.init(params)
+            opt_path = resume_from.replace(".npz", ".opt.npz")
+            if os.path.exists(opt_path):
+                try:
+                    opt_state = ckpt.restore_opt_state(opt_state, opt_path)
+                except ValueError as e:
+                    print(f"[resume] optimizer state not restored: {e}")
+            self.state = TrainState(params, opt_state,
                                     jnp.asarray(step, jnp.int32))
             print(f"[resume] step {step} from {resume_from}")
 
@@ -233,6 +240,8 @@ class Trainer:
             path = os.path.join(self.paths.ckpts_dir, f"epoch={epoch}.npz")
             ckpt.save_checkpoint(path, self.state.params,
                                  step=int(self.state.step))
+            ckpt.save_opt_state(path.replace(".npz", ".opt.npz"),
+                                self.state.opt_state)
 
     # -------------------------------------------------------------- eval
 

@@ -130,6 +130,35 @@ def freeze_mask(params: Any, frozen_prefixes: Iterable[str]) -> Any:
     return mask
 
 
+def save_opt_state(path: str, opt_state: Any):
+    """Optimizer state (nested optax namedtuples) saved as an indexed leaf
+    list — the tree structure itself is rebuilt from a template at restore
+    (full-resume parity with Lightning checkpoints, main.py:723)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    arrays = {f"leaf_{i:04d}": np.asarray(v) for i, v in enumerate(leaves)}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+    return path
+
+
+def restore_opt_state(template: Any, path: str) -> Any:
+    flat = load_flat(path)
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    n = len([k for k in flat if k.startswith("leaf_")])
+    if n != len(leaves_t):
+        raise ValueError(
+            f"optimizer-state leaf count mismatch: ckpt {n} vs "
+            f"template {len(leaves_t)} (different optimizer config?)")
+    leaves = []
+    for i, t in enumerate(leaves_t):
+        v = flat[f"leaf_{i:04d}"]
+        if np.shape(t) != v.shape:
+            raise ValueError(f"opt-state leaf {i} shape mismatch: "
+                             f"{np.shape(t)} vs {v.shape}")
+        leaves.append(v.astype(np.asarray(t).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Highest-epoch epoch={n}.npz in a directory (reference file naming
     epoch={n}.ckpt, main.py:709-712)."""

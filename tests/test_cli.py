@@ -102,3 +102,53 @@ def test_create_dsm_cli(aoi, tmp_path):
                      "--epoch_number", str(last)]) == 0
     out_dir = os.path.join(logs, "dsm_smoke", f"dsm_epoch{last}")
     assert any(f.endswith("_dsm.tif") for f in os.listdir(out_dir))
+
+
+def test_two_stage_workflow_cli(aoi, tmp_path):
+    """The canonical reference workflow (README.md:97-133): stage-1
+    Lambertian pretrain with depth supervision, stage-2 BRDF finetune
+    restoring the stage-1 trunk via --in_ckpts, then eval."""
+    import os
+    import numpy as np
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.eval import main as eval_main
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    logs = str(tmp_path / "logs")
+    ckpts = str(tmp_path / "ckpts")
+    common = ["--root_dir", aoi["root"], "--logs_dir", logs,
+              "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+              "--aoi_id", aoi["aoi_id"], "--mapping",
+              "--fc_feat", "64", "--fc_layers", "4",
+              "--n_samples", "8", "--guided_samples", "8",
+              "--batch_size", "256", "--lr", "1e-3",
+              "--eval_every_n_epochs", "1000"]
+    # stage 1
+    assert train_main(["--model", "spsbrdf-nerf", "--exp_name", "s1",
+                       "--ds_lambda", "10", "--max_train_steps", "40"]
+                      + common) == 0
+    s1_dir = os.path.join(ckpts, "s1")
+    s1_last = max(int(f[len("epoch="):-len(".npz")])
+                  for f in os.listdir(s1_dir)
+                  if f.startswith("epoch=") and f.endswith(".npz")
+                  and ".opt." not in f)
+    s1_ckpt = os.path.join(s1_dir, f"epoch={s1_last}.npz")
+
+    # stage 2: BRDF finetune with handoff
+    assert train_main(["--model", "spsbrdf-nerf", "--exp_name", "s2",
+                       "--in_ckpts", s1_ckpt, "--normal", "analystic",
+                       "--funcM", "1", "--funcF", "1", "--funcH", "1",
+                       "--brdf_on", "0", "--cos_irra_on", "0",
+                       "--ds_lambda", "10", "--max_train_steps", "30"]
+                      + common) == 0
+    s2_dir = os.path.join(ckpts, "s2")
+    s2_last = max(int(f[len("epoch="):-len(".npz")])
+                  for f in os.listdir(s2_dir)
+                  if f.startswith("epoch=") and f.endswith(".npz")
+                  and ".opt." not in f)
+    # stage-2 checkpoint carries the BRDF heads
+    flat = ckpt_mod.load_flat(os.path.join(s2_dir, f"epoch={s2_last}.npz"))
+    assert any("k_from_xyz" in k for k in flat)
+
+    assert eval_main(["--logs_dir", os.path.join(logs, "s2"),
+                      "--epoch_number", str(s2_last)]) == 0

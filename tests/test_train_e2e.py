@@ -132,3 +132,30 @@ def test_freeze_mask(datasets, tmp_path):
     sig_after = np.asarray(tr.state.params["coarse"]["sigma_from_xyz"][0]["w"])
     np.testing.assert_array_equal(before, after)        # frozen
     assert not np.array_equal(sig_before, sig_after)    # trainable moved
+
+
+def test_resume_restores_optimizer_state(datasets, tmp_path):
+    train_ds, _ = datasets
+    cfg = _run_cfg(max_train_steps=12)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l4"),
+                         ckpts_dir=str(tmp_path / "c4"))
+    tr = Trainer(cfg, train_ds.store, paths, seed=0)
+    tr.fit(max_steps=12, log_every=6, progress=False)
+    path = ckpt.latest_checkpoint(paths.ckpts_dir)
+    opt_path = path.replace(".npz", ".opt.npz")
+    assert os.path.exists(opt_path)
+
+    tr2 = Trainer(cfg, train_ds.store, paths, seed=1, resume_from=path)
+    assert int(tr2.state.step) == 12
+    # Adam moments restored exactly (not re-initialized to zeros)
+    l1 = jax.tree_util.tree_leaves(tr.state.opt_state)
+    l2 = jax.tree_util.tree_leaves(tr2.state.opt_state)
+    assert len(l1) == len(l2)
+    nonzero = 0
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if np.asarray(a).size and np.abs(np.asarray(a)).max() > 0:
+            nonzero += 1
+    assert nonzero > 0
+    # training continues
+    tr2.fit(max_steps=14, log_every=2, progress=False)
