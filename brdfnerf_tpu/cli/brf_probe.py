@@ -1,0 +1,92 @@
+"""BRF probe CLI: reflectance-vs-view-angle curves for chosen pixels
+(reference eval.py:300-363 eval_pixel_variedvw).
+
+python -m brdfnerf_tpu.cli.brf_probe --logs_dir <run> --epoch_number N \
+    [--pixels r,c r,c ...] [--image_idx 1]
+
+Writes brf_<src>_<r>_<c>.txt (zenith, R, G, B columns) and a PNG plot per
+probed pixel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--logs_dir", required=True)
+    p.add_argument("--epoch_number", type=int, required=True)
+    p.add_argument("--image_idx", type=int, default=1)
+    p.add_argument("--pixels", nargs="*", default=None,
+                   help="row,col pairs; default = image center")
+    p.add_argument("--n_views", type=int, default=33)
+    p.add_argument("--output_dir", default=None)
+    args = p.parse_args(argv)
+
+    from . import opts as opts_mod
+    from .eval import _dummy_store
+    from ..train import Trainer, TrainerPaths
+    from ..utils import checkpoint as ckpt
+    from ..analysis import brf_probe
+    from ..data.satellite import SatelliteConfig, SatelliteDataset
+
+    ropts = opts_mod.load_opts(args.logs_dir)
+    cfg = opts_mod.to_run_config(ropts)
+    out_dir = args.output_dir or os.path.join(
+        args.logs_dir, f"brf_epoch{args.epoch_number}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    sat_cfg = SatelliteConfig(
+        root_dir=ropts.root_dir, img_dir=ropts.img_dir,
+        depth_subdir=ropts.inputdds, aoi_id=ropts.aoi_id, cs=ropts.cs,
+        img_downscale=ropts.img_downscale, scale=ropts.scale,
+        mod_alt_bound=ropts.mod_alt_bound,
+        load_depth=(ropts.model in ("sps-nerf", "spsbrdf-nerf")))
+    ds = SatelliteDataset(sat_cfg, split="val")
+    s = ds.get_image(args.image_idx)
+    h, w = s["h"], s["w"]
+
+    ckpt_path = os.path.join(ropts.ckpts_dir, ropts.exp_name,
+                             f"epoch={args.epoch_number}.npz")
+    tr = Trainer(cfg, _dummy_store(ds),
+                 TrainerPaths(logs_dir=out_dir, ckpts_dir=out_dir))
+    params = ckpt.restore_params(tr.state.params, ckpt_path)
+
+    pixels = ([(int(r), int(c)) for r, c in
+               (pp.split(",") for pp in args.pixels)]
+              if args.pixels else [(h // 2, w // 2)])
+    for r, c in pixels:
+        ray = s["rays"][r * w + c]
+        out = brf_probe(params, cfg.model, cfg.render, ray,
+                        n_views=args.n_views)
+        curve = out.get("brf", out["rgb"])
+        base = os.path.join(out_dir, f"brf_{s['src_id']}_{r}_{c}")
+        np.savetxt(base + ".txt",
+                   np.column_stack([out["view_zenith_deg"], curve]),
+                   header="view_zenith_deg R G B")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(5, 3.2))
+            for i, ch in enumerate("RGB"):
+                ax.plot(out["view_zenith_deg"], curve[:, i], label=ch)
+            ax.set_xlabel("view zenith (deg, principal plane)")
+            ax.set_ylabel("BRF")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(base + ".png", dpi=120)
+            plt.close(fig)
+        except Exception as e:
+            print(f"plot skipped: {e}")
+        print(f"probed ({r},{c}) -> {base}.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
     paths = TrainerPaths(logs_dir=out_dir, ckpts_dir=ckpts_dir,
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
     tr = Trainer(cfg, dummy_store, paths, val_dataset=val_ds, seed=0)
+    tr.eval_chunk = int(getattr(args, "chunk", 5120) or 5120)
     params = ckpt.restore_params(tr.state.params, ckpt_path)
     tr.state = tr.state._replace(params=params)
 

@@ -55,6 +55,7 @@ def main(argv=None):
     trainer = Trainer(cfg, store, paths, val_dataset=val_ds, mesh=mesh,
                       seed=args.seed, use_tb=args.tensorboard,
                       in_ckpts=args.in_ckpts, resume_from=args.ckpt_path)
+    trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
                 save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)
     return 0

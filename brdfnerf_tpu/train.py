@@ -147,6 +147,7 @@ class Trainer:
         self._step_fns: Dict[Any, Any] = {}
         self._render_fn = None
         self._key = jax.random.PRNGKey(seed + 1)
+        self.eval_chunk = 16384          # --chunk (opt.py:182) analog
 
     def _place_batch(self, batch: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -245,11 +246,13 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
 
-    def render_image(self, sample: Dict, chunk: int = 16384,
+    def render_image(self, sample: Dict, chunk: Optional[int] = None,
                      rcfg: Optional[RenderConfig] = None) -> Dict[str, np.ndarray]:
         """Full-image render via a fixed-shape jitted chunk fn."""
         import dataclasses as dc
         from .render.render import RenderInputs
+        if chunk is None:
+            chunk = self.eval_chunk
         if rcfg is None:
             # eval uses the final static phase (eval.py:383-384 semantics:
             # apply_brdf when brdf_on < 1)

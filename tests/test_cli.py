@@ -152,3 +152,30 @@ def test_two_stage_workflow_cli(aoi, tmp_path):
 
     assert eval_main(["--logs_dir", os.path.join(logs, "s2"),
                       "--epoch_number", str(s2_last)]) == 0
+
+
+def test_brf_probe_cli(aoi, tmp_path):
+    import os
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.brf_probe import main as probe_main
+    logs = str(tmp_path / "logs")
+    ckpts = str(tmp_path / "ckpts")
+    assert train_main([
+        "--model", "spsbrdf-nerf", "--exp_name", "probe", "--mapping",
+        "--root_dir", aoi["root"], "--logs_dir", logs,
+        "--ckpts_dir", ckpts, "--aoi_id", aoi["aoi_id"],
+        "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "8",
+        "--batch_size", "256", "--max_train_steps", "20",
+        "--ds_lambda", "10", "--normal", "analystic",
+        "--funcM", "1", "--funcF", "1", "--funcH", "1", "--brdf_on", "0",
+        "--eval_every_n_epochs", "1000"]) == 0
+    run_dir = os.path.join(logs, "probe")
+    ckpt_dir = os.path.join(ckpts, "probe")
+    last = max(int(f[len("epoch="):-len(".npz")])
+               for f in os.listdir(ckpt_dir)
+               if f.startswith("epoch=") and ".opt." not in f)
+    assert probe_main(["--logs_dir", run_dir, "--epoch_number", str(last),
+                       "--n_views", "9"]) == 0
+    out = os.path.join(run_dir, f"brf_epoch{last}")
+    assert any(f.endswith(".txt") for f in os.listdir(out))
