@@ -41,7 +41,8 @@ def test_train_then_eval_cli(aoi, tmp_path):
     assert opts["sc_lambda"] == pytest.approx(0.05)   # kept: sun_v==learned
 
     ckpt_dir = os.path.join(ckpts, "cli_smoke")
-    eps = [f for f in os.listdir(ckpt_dir) if f.startswith("epoch=")]
+    eps = [f for f in os.listdir(ckpt_dir)
+           if f.startswith("epoch=") and ".opt." not in f]
     assert eps, os.listdir(ckpt_dir)
     last_epoch = max(int(f[len("epoch="):-len(".npz")]) for f in eps)
 
@@ -97,7 +98,8 @@ def test_create_dsm_cli(aoi, tmp_path):
         "--eval_every_n_epochs", "1000"]) == 0
     ckpt_dir = os.path.join(ckpts, "dsm_smoke")
     last = max(int(f[len("epoch="):-len(".npz")])
-               for f in os.listdir(ckpt_dir) if f.startswith("epoch="))
+               for f in os.listdir(ckpt_dir)
+               if f.startswith("epoch=") and ".opt." not in f)
     assert dsm_main(["--logs_dir", os.path.join(logs, "dsm_smoke"),
                      "--epoch_number", str(last)]) == 0
     out_dir = os.path.join(logs, "dsm_smoke", f"dsm_epoch{last}")
