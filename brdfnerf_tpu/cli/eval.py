@@ -49,6 +49,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
             corrscale=args.corrscale, stdscale=args.stdscale,
             margin=args.margin, mod_alt_bound=args.mod_alt_bound,
             infile_postfix=args.infile_postfix,
+            cache_dir=args.cache_dir,
             std_quirk=bool(getattr(args, "std_quirk", 1)),
             load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
         val_ds = SatelliteDataset(sat_cfg, split="val")

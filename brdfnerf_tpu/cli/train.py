@@ -38,6 +38,7 @@ def main(argv=None):
             corrscale=args.corrscale, stdscale=args.stdscale,
             margin=args.margin, mod_alt_bound=args.mod_alt_bound,
             infile_postfix=args.infile_postfix,
+            cache_dir=args.cache_dir,
             std_quirk=bool(args.std_quirk),
             load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
         train_ds = SatelliteDataset(sat_cfg, split="train")

@@ -400,6 +400,9 @@ def build_depth_arrays(meta: dict, depth_dir: str, scene: SceneLoc,
 class SatelliteConfig:
     root_dir: str                      # json + split + scene.loc directory
     img_dir: Optional[str] = None
+    cache_dir: Optional[str] = None    # per-image ray cache (reference
+    # caches via torch.save keyed by img_id, satellite.py:195-206 — its
+    # cache READ is disabled (`if 0:`); here the cache actually works)
     depth_subdir: str = "DenseDepth_ZM4"   # --inputdds (opt.py:205-206)
     aoi_id: str = "Dji_012"
     cs: str = "utm"                    # --cs
@@ -477,8 +480,21 @@ class SatelliteDataset:
                                   1.0 / cfg.img_downscale)
         cols, rows = np.meshgrid(np.arange(w), np.arange(h))
         cols, rows = cols.ravel(), rows.ravel()
-        rays = get_rays_np(cols, rows, rpc, float(meta["min_alt"]),
-                           float(meta["max_alt"]), cfg.cs)
+        cache_p = None
+        if cfg.cache_dir:
+            os.makedirs(cfg.cache_dir, exist_ok=True)
+            cache_p = os.path.join(
+                cfg.cache_dir,
+                f"{file_id(meta['img'])}_ds{cfg.img_downscale:g}"
+                f"_{cfg.cs}.npz")
+        if cache_p and os.path.exists(cache_p):
+            with np.load(cache_p) as z:
+                rays = z["rays"]
+        else:
+            rays = get_rays_np(cols, rows, rpc, float(meta["min_alt"]),
+                               float(meta["max_alt"]), cfg.cs)
+            if cache_p:
+                np.savez(cache_p, rays=rays)
         if self.utm_zone is None and cfg.cs == "utm":
             lon, lat = rpc_mod.localization_np(
                 rpc, np.asarray([cols[0]]), np.asarray([rows[0]]),

@@ -196,6 +196,11 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         start = int(self.state.step)
         epoch = start // self.steps_per_epoch
+        # tracing (SURVEY.md 5: replaces Lightning profiler="simple"):
+        # BRDFNERF_PROFILE=<dir> captures a jax.profiler trace of steps
+        # start+10 .. start+20 for TensorBoard's trace viewer
+        profile_dir = os.environ.get("BRDFNERF_PROFILE")
+        prof_window = (start + 10, start + 20) if profile_dir else None
         for step in range(start, max_steps):
             new_epoch = step // self.steps_per_epoch
             if new_epoch != epoch or step == start:
@@ -203,6 +208,11 @@ class Trainer:
                     self._on_epoch_end(epoch, eval_every_n_epochs,
                                        save_ckpt_every_n_epochs)
                 epoch = new_epoch
+            if prof_window and step == prof_window[0]:
+                jax.profiler.start_trace(profile_dir)
+            if prof_window and step == prof_window[1]:
+                jax.profiler.stop_trace()
+                prof_window = None
             batch = self._place_batch(self.batcher.next_batch())
             self._key, k = jax.random.split(self._key)
             step_fn = self._get_step_fn(self._static_phase(step))

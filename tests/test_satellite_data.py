@@ -138,3 +138,19 @@ def test_sparse_keypoint_depth(tmp_path):
     frac = (MAX_ALT - ALT0) / (MAX_ALT - MIN_ALT)
     np.testing.assert_allclose(out["depths"][:, 0],
                                frac * out["rays"][:, 7], rtol=1e-3)
+
+
+def test_ray_cache(tmp_path):
+    """cache_dir: second dataset construction reads cached rays and
+    produces identical stores."""
+    import os, time
+    from synth_aoi import build_aoi as _build
+    aoi = _build(str(tmp_path / "rc"))
+    cache = str(tmp_path / "cache")
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          cache_dir=cache, scene_loc_stride=2)
+    ds1 = SatelliteDataset(cfg, split="train")
+    files = os.listdir(cache)
+    assert any(f.endswith(".npz") for f in files)
+    ds2 = SatelliteDataset(cfg, split="train")
+    np.testing.assert_array_equal(ds1.store["rays"], ds2.store["rays"])
