@@ -1,0 +1,224 @@
+"""Golden parity tests against the ACTUAL reference implementation.
+
+The reference's BRDF physics, compositing, samplers, and positional
+encoding are pure torch math, runnable on CPU.  These tests import the
+reference modules directly (stubbing its missing native deps) and compare
+our jnp implementations on identical random inputs — direct numerical
+evidence of fidelity, not just oracle re-derivations.
+
+Skipped wholesale if /root/reference is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import reference modules with missing native deps stubbed."""
+    for name in ("rasterio", "rpcm", "utm", "torchvision",
+                 "torchvision.transforms"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                mod = types.ModuleType(name)
+                sys.modules[name] = mod
+                if "." in name:
+                    parent, child = name.rsplit(".", 1)
+                    setattr(sys.modules[parent], child, mod)
+    sys.path.insert(0, REF)
+    import torch
+    torch.manual_seed(0)
+    import BRDF.basic_func as basic_func
+    import BRDF.RPV as RPV
+    import BRDF.Hapke as Hapke
+    import BRDF.microfacet as microfacet
+    import models.nerf as ref_nerf
+    yield types.SimpleNamespace(
+        torch=torch, basic_func=basic_func, RPV=RPV, Hapke=Hapke,
+        microfacet=microfacet, nerf=ref_nerf)
+    sys.path.remove(REF)
+
+
+def _geometry(n=256, seed=0):
+    """Random-ish but non-grazing light/view/normal unit vectors."""
+    rng = np.random.RandomState(seed)
+    def unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+    normal = unit(np.stack([rng.uniform(-0.3, 0.3, n),
+                            rng.uniform(-0.3, 0.3, n),
+                            rng.uniform(0.8, 1.0, n)], -1)).astype(np.float32)
+    light = unit(np.stack([rng.uniform(-0.5, 0.5, n),
+                           rng.uniform(-0.5, 0.5, n),
+                           rng.uniform(0.6, 1.0, n)], -1)).astype(np.float32)
+    view = unit(np.stack([rng.uniform(-0.5, 0.5, n),
+                          rng.uniform(-0.5, 0.5, n),
+                          rng.uniform(0.6, 1.0, n)], -1)).astype(np.float32)
+    return light, view, normal
+
+
+def test_calc_angles_parity(ref):
+    from brdfnerf_tpu.brdf.common import calc_angles
+    t = ref.torch
+    l, v, n = _geometry()
+    ours = calc_angles(jnp.asarray(l), jnp.asarray(v), jnp.asarray(n))
+    ci, sza, si, cv, vza, sv, cg, g, phi = ref.basic_func.calc_angles(
+        t.from_numpy(l), t.from_numpy(v), t.from_numpy(n))
+    np.testing.assert_allclose(np.asarray(ours.ci), ci.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours.cv), cv.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours.cg), cg.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours.g), g.numpy(), atol=1e-4)
+    # phi can differ at exact-degenerate geometry; these inputs avoid it
+    np.testing.assert_allclose(np.asarray(ours.phi), phi.numpy(), atol=5e-3)
+
+
+def test_rpv_parity(ref):
+    from brdfnerf_tpu.brdf.rpv import rpv_brdf
+    t = ref.torch
+    l, v, n = _geometry()
+    rng = np.random.RandomState(1)
+    w = rng.uniform(0.1, 0.9, (256, 3)).astype(np.float32)
+    k = rng.uniform(0.4, 1.6, (256, 3)).astype(np.float32)
+    theta = rng.uniform(-0.6, 0.6, (256, 3)).astype(np.float32)
+    rhoc = rng.uniform(0.1, 0.9, (256, 3)).astype(np.float32)
+
+    brdf_ours, *_ = rpv_brdf(jnp.asarray(l), jnp.asarray(v), jnp.asarray(n),
+                             jnp.asarray(w), jnp.asarray(k),
+                             jnp.asarray(theta), jnp.asarray(rhoc))
+    model = ref.RPV.RPV()
+    out = model(t.from_numpy(l), t.from_numpy(v), t.from_numpy(n),
+                t.from_numpy(w), t.from_numpy(k), t.from_numpy(theta),
+                t.from_numpy(rhoc))
+    brdf_ref = out[0] if isinstance(out, tuple) else out
+    np.testing.assert_allclose(np.asarray(brdf_ours),
+                               brdf_ref.detach().numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_hapke_parity(ref):
+    from brdfnerf_tpu.brdf.hapke import hapke_brdf
+    t = ref.torch
+    l, v, n = _geometry()
+    rng = np.random.RandomState(2)
+    w = rng.uniform(0.1, 0.9, (256, 3)).astype(np.float32)
+    b = rng.uniform(0.05, 0.95, (256, 3)).astype(np.float32)
+    c = rng.uniform(0.05, 0.95, (256, 3)).astype(np.float32)
+    theta = rng.uniform(0.01, 0.5, 256).astype(np.float32)
+
+    ours, *_ = hapke_brdf(jnp.asarray(l), jnp.asarray(v), jnp.asarray(n),
+                          jnp.asarray(w), jnp.asarray(b), jnp.asarray(c),
+                          jnp.asarray(theta), hpk_scl=4.0)
+    args = types.SimpleNamespace(hpk_scl=4.0, shell_hapke=0)
+    model = ref.Hapke.Hapke(args)
+    out = model(t.from_numpy(l), t.from_numpy(v), t.from_numpy(n),
+                t.from_numpy(w), b=t.from_numpy(b), c=t.from_numpy(c),
+                theta=t.from_numpy(theta))
+    brdf_ref = (out[0] if isinstance(out, tuple) else out).detach().numpy()
+    # our mu0/mu_eff floors only bind at grazing angles, absent here
+    np.testing.assert_allclose(np.asarray(ours), brdf_ref,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_microfacet_parity(ref):
+    from brdfnerf_tpu.brdf.microfacet import microfacet_brdf
+    t = ref.torch
+    l, v, n = _geometry()
+    rng = np.random.RandomState(3)
+    albedo = rng.uniform(0.1, 0.9, (256, 3)).astype(np.float32)
+    rough = rng.uniform(0.2, 0.9, (256, 1)).astype(np.float32)
+
+    glossy_ours, brdf_ours, *_ = microfacet_brdf(
+        jnp.asarray(l), jnp.asarray(v), jnp.asarray(n),
+        jnp.asarray(albedo), jnp.asarray(rough))
+    model = ref.microfacet.Microfacet()
+    out = model(t.from_numpy(l)[:, None, :], t.from_numpy(v),
+                t.from_numpy(n), t.from_numpy(albedo), t.from_numpy(rough))
+    # reference returns (glossy (N,L), brdf (N,L,3), f, g, d, ...)
+    glossy_ref = out[0].detach().numpy()
+    brdf_ref = out[1].detach().numpy()
+    np.testing.assert_allclose(np.asarray(glossy_ours).reshape(-1),
+                               glossy_ref.reshape(-1), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(brdf_ours).reshape(-1, 3),
+                               brdf_ref.reshape(-1, 3), rtol=2e-4, atol=2e-5)
+
+
+def test_positional_encoding_parity(ref):
+    from brdfnerf_tpu.ops.encoding import positional_encoding
+    t = ref.torch
+    mapper = ref.nerf.Mapping(10, 3)
+    x = np.random.RandomState(4).uniform(-2, 2, (64, 3)).astype(np.float32)
+    ref_out = mapper(t.from_numpy(x)).numpy()
+    ours = np.asarray(positional_encoding(jnp.asarray(x), 10))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_compositing_parity(ref):
+    """Our composite vs the reference's inference compositing block
+    (models/nerf.py:117-133 math re-run in torch here)."""
+    import torch as t
+    from brdfnerf_tpu.ops.compositing import composite
+    rng = np.random.RandomState(5)
+    z = np.sort(rng.uniform(0, 2, (32, 16)).astype(np.float32), -1)
+    sigma = rng.uniform(0, 3, (32, 16)).astype(np.float32)
+
+    alphas, transp, weights, depth = composite(jnp.asarray(z),
+                                               jnp.asarray(sigma))
+    zt = t.from_numpy(z)
+    st = t.from_numpy(sigma)
+    deltas = zt[:, 1:] - zt[:, :-1]
+    delta_inf = 1e10 * t.ones_like(deltas[:, :1])
+    deltas = t.cat([deltas, delta_inf], -1)
+    a = 1 - t.exp(-deltas * t.relu(st))
+    as_ = t.cumprod(t.cat([t.ones_like(a[:, :1]), 1 - a + 1e-10], -1), -1)
+    w = a * as_[:, :-1]
+    np.testing.assert_allclose(np.asarray(alphas), a.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(weights), w.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth),
+                               (w * zt).sum(-1).numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sample_pdf_parity(ref):
+    """Our inverse-CDF sampler vs the reference's sample_pdf
+    (rendering.py:13-52) in deterministic mode."""
+    import importlib, torch as t
+    rendering = importlib.import_module("rendering")
+    from brdfnerf_tpu.ops.sampling import sample_pdf
+    rng = np.random.RandomState(6)
+    bins = np.sort(rng.uniform(0, 2, (16, 33)).astype(np.float32), -1)
+    w = rng.uniform(0, 1, (16, 32)).astype(np.float32)
+    ours = np.asarray(sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
+                                 jnp.asarray(w), 24, det=True))
+    refs = rendering.sample_pdf(t.from_numpy(bins), t.from_numpy(w), 24,
+                                det=True).numpy()
+    np.testing.assert_allclose(ours, refs, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_3sigma_parity(ref):
+    """Gaussian band sampler vs reference sample_3sigma (rendering.py:54-74),
+    deterministic mode."""
+    import importlib, torch as t
+    rendering = importlib.import_module("rendering")
+    from brdfnerf_tpu.ops.sampling import sample_gaussian_3sigma
+    low = np.full(8, 0.2, np.float32)
+    high = np.full(8, 1.8, np.float32)
+    ours = np.asarray(sample_gaussian_3sigma(
+        jax.random.PRNGKey(0), jnp.asarray(low), jnp.asarray(high), 16,
+        det=True))
+    refs = rendering.sample_3sigma(t.from_numpy(low), t.from_numpy(high),
+                                   16, True, 0.2, 1.8).numpy()
+    np.testing.assert_allclose(ours, refs, rtol=1e-4, atol=1e-5)
