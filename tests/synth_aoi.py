@@ -49,6 +49,30 @@ def ground_texture(lon, lat):
     return 0.5 + 0.25 * np.sin(2.0 * u) + 0.25 * np.cos(3.0 * v)
 
 
+BUMP_AMP = 15.0     # meters
+
+
+def terrain_alt(lon, lat, bumpy: bool):
+    """Terrain altitude: flat ALT0, or a smooth +/-BUMP_AMP hill field."""
+    if not bumpy:
+        return np.full_like(np.asarray(lon, np.float64), ALT0)
+    u = (lon - LON0) / 3e-4
+    v = (lat - LAT0) / 2e-4
+    return ALT0 + BUMP_AMP * np.sin(1.5 * u) * np.cos(1.2 * v)
+
+
+def intersect_terrain(rpc_d, cols, rows, bumpy: bool, iters: int = 25):
+    """Ray-terrain intersection by fixed-point altitude iteration:
+    a <- alt(lonlat(a)).  Converges fast for gentle slopes (the affine RPC
+    maps pixel+altitude to ground linearly)."""
+    a = np.full(np.shape(cols), ALT0, np.float64)
+    for _ in range(iters):
+        lon, lat = localize_affine(rpc_d, cols, rows, a)
+        a = 0.5 * a + 0.5 * terrain_alt(lon, lat, bumpy)
+    lon, lat = localize_affine(rpc_d, cols, rows, a)
+    return lon, lat, a
+
+
 def localize_affine(rpc_d, cols, rows, alt):
     """Closed-form inverse of the affine RPC above."""
     nalt = (np.asarray(alt, np.float64) - rpc_d["alt_offset"]) / rpc_d["alt_scale"]
@@ -62,7 +86,7 @@ def localize_affine(rpc_d, cols, rows, alt):
 
 def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
               depth_subdir: str = "DenseDepth_ZM4",
-              with_keypoints: bool = False):
+              with_keypoints: bool = False, bumpy: bool = False):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
@@ -81,7 +105,7 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
         rpc_d = affine_rpc_dict(*tilts[i % len(tilts)])
         img_name = f"img_{i:02d}.tif"
         cols, rows = np.meshgrid(np.arange(W), np.arange(H))
-        lon, lat = localize_affine(rpc_d, cols, rows, ALT0)
+        lon, lat, _ = intersect_terrain(rpc_d, cols, rows, bumpy)
         tex = ground_texture(lon, lat)
         rgb = np.stack([tex, tex, tex]).astype(np.float32)
         rgb8 = (rgb * 255).astype(np.uint8)
@@ -105,12 +129,12 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
             json.dump(meta, f)
         names.append(jname)
 
-        # MicMac depth triplet: dense (every pixel), flat terrain at ALT0
+        # MicMac depth triplet: dense (every pixel) on the terrain surface
         sel_c, sel_r = np.meshgrid(np.arange(0, W), np.arange(0, H))
         sel_c, sel_r = sel_c.ravel(), sel_r.ravel()
-        lon_s, lat_s = localize_affine(rpc_d, sel_c, sel_r, ALT0)
+        lon_s, lat_s, alt_s = intersect_terrain(rpc_d, sel_c, sel_r, bumpy)
         e, n = utm_from_latlon(lat_s, lon_s, zone=ZONE)
-        pts3d = np.stack([e, n, np.full_like(e, ALT0)], -1)
+        pts3d = np.stack([e, n, alt_s], -1)
         img_id = f"img_{i:02d}"
         np.savetxt(os.path.join(depth_dir, img_id + "_2DPts.txt"),
                    np.stack([sel_c, sel_r], -1), fmt="%d")
@@ -124,7 +148,7 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     with open(os.path.join(root, "test.txt"), "w") as f:
         f.write("".join(n + "\n" for n in names[n_train:]))
 
-    # GT lidar DSM over the AOI footprint: flat ALT0, resolution 1 m
+    # GT lidar DSM over the AOI footprint (terrain_alt), resolution 1 m
     rpc_d = affine_rpc_dict()
     cols, rows = np.meshgrid([0, W - 1], [0, H - 1])
     lon, lat = localize_affine(rpc_d, cols.ravel(), rows.ravel(), ALT0)
@@ -133,7 +157,12 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     xoff = np.floor(e.min())
     size = int(np.ceil(max(e.max() - e.min(), n.max() - n.min()))) + 2
     yoff_b = np.floor(n.min())
-    gt = np.full((size, size), ALT0, np.float32)
+    from brdfnerf_tpu.geo.geodesy import latlon_from_utm
+    ci, rj = np.meshgrid(np.arange(size), np.arange(size))
+    ce = xoff + (ci + 0.5) * res
+    cn = yoff_b + size * res - (rj + 0.5) * res
+    glat, glon = latlon_from_utm(ce.ravel(), cn.ravel(), ZONE, northern=True)
+    gt = terrain_alt(glon, glat, bumpy).reshape(size, size).astype(np.float32)
     gt_dir = os.path.join(root, "gt")
     os.makedirs(gt_dir, exist_ok=True)
     aoi_id = "Synth_001"

@@ -159,3 +159,28 @@ def test_resume_restores_optimizer_state(datasets, tmp_path):
     assert nonzero > 0
     # training continues
     tr2.fit(max_steps=14, log_every=2, progress=False)
+
+
+def test_shape_recovery_on_bumpy_terrain(tmp_path):
+    """Non-flat terrain: training with dense depth supervision must recover
+    the +/-15 m hill field — DSM MAE well below the bump amplitude (a flat
+    prediction would score ~BUMP_AMP/2 ~ 6 m)."""
+    from synth_aoi import build_aoi, BUMP_AMP
+    aoi = build_aoi(str(tmp_path / "bumpy"), bumpy=True)
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    train_ds = SatelliteDataset(cfg, split="train")
+    val_ds = SatelliteDataset(cfg, split="val")
+
+    run = _run_cfg(max_train_steps=400)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
+                         ckpts_dir=str(tmp_path / "c"),
+                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+    tr = Trainer(run, train_ds.store, paths, val_dataset=val_ds, seed=0)
+    tr.fit(max_steps=400, log_every=200, eval_every_n_epochs=1000,
+           progress=False)
+    scal = tr.validate(epoch=0)
+    maes = [v for k, v in scal.items()
+            if "mae_" in k and "nr" not in k]
+    assert maes, scal
+    assert min(maes) < BUMP_AMP / 3.0, (maes, BUMP_AMP)
