@@ -85,14 +85,15 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(1), SCAN_STEPS)
     carry = (state.params, state.opt_state)
     carry, losses = scan_steps(carry, keys)          # compile + warmup
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)     # full fetch: block_until_ready proved
+    # unreliable through the TPU tunnel (can return before execution)
 
     times = []
     for i in range(3):
         keys = jax.random.split(jax.random.PRNGKey(2 + i), SCAN_STEPS)
         t0 = time.perf_counter()
         carry, losses = scan_steps(carry, keys)
-        jax.block_until_ready(losses)
+        _ = np.asarray(losses)
         times.append(time.perf_counter() - t0)
 
     best = min(times) / SCAN_STEPS
