@@ -79,6 +79,12 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
         mval = jnp.asarray(mask.reshape(h, w, 1)) if mask is not None else None
         p = float(psnr_m(jnp.asarray(rgb), jnp.asarray(gt), mval))
         sv = float(ssim_m(jnp.asarray(rgb), jnp.asarray(gt)))
+        # scaled variants: both images divided by max(gt) before scoring
+        # (sclimg, reference metrics.py:301-308, eval.py:469-471)
+        from ..metrics import scale_images
+        rgb_s, gt_s = scale_images(jnp.asarray(rgb), jnp.asarray(gt))
+        p_scl = float(psnr_m(rgb_s, gt_s, mval))
+        sv_scl = float(ssim_m(rgb_s, gt_s))
         src = s.get("src_id", str(idx))
         write_geotiff(os.path.join(out_dir, f"{src}_rgb.tif"),
                       (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
@@ -103,7 +109,8 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
         if s.get("is_val", True):
             psnrs.append(p)
             ssims.append(sv)
-        print(f"{src}: psnr {p:.2f} ssim {sv:.3f}"
+        print(f"{src}: psnr {p:.2f} ({p_scl:.2f} scl) "
+              f"ssim {sv:.3f} ({sv_scl:.3f} scl)"
               + (f" mae {maes[-1]:.2f}" if maes and s.get("is_val", True)
                  else ""))
 
