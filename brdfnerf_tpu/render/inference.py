@@ -135,7 +135,9 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
 
     apply_brdf = rcfg.apply_brdf
     nr_an_needed = mcfg.normal in ("analystic", "analystic_learned")
-    net_fn = (apply_network_with_normals if nr_an_needed else apply_network)
+    nr_an_at_surface = nr_an_needed and rcfg.normal_at_surface
+    net_fn = (apply_network_with_normals
+              if (nr_an_needed and not nr_an_at_surface) else apply_network)
     out = net_fn(params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
                  t_emb=t_flat, apply_brdf=apply_brdf,
                  apply_theta=rcfg.apply_theta,
@@ -181,12 +183,19 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
         result["beta"] = out["beta"].reshape(n_rays, n_samples, 1)
 
     # normals: analytic via density gradient (computed inside the shared
-    # trunk fwd+bwd above), learned via head
+    # trunk fwd+bwd above, or once per ray at the expected surface when
+    # rcfg.normal_at_surface), learned via head
     nr_an_on = mcfg.normal in ("analystic", "analystic_learned")
     nr_lr_on = mcfg.normal in ("learned", "analystic_learned")
     normal = None
     if nr_an_on:
-        normal_an = out["normal_an"].reshape(n_rays, n_samples, 3)
+        if nr_an_at_surface:
+            x_surf = rays_o + rays_d * depth[:, None]
+            n_surf = analytic_normals(params, mcfg, x_surf)   # (N, 3)
+            normal_an = jnp.broadcast_to(n_surf[:, None, :],
+                                         (n_rays, n_samples, 3))
+        else:
+            normal_an = out["normal_an"].reshape(n_rays, n_samples, 3)
         result["normal_an"] = normal_an
         normal = normal_an
     if nr_lr_on and "normal_lr" in out:

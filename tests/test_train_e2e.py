@@ -184,3 +184,49 @@ def test_shape_recovery_on_bumpy_terrain(tmp_path):
             if "mae_" in k and "nr" not in k]
     assert maes, scal
     assert min(maes) < BUMP_AMP / 3.0, (maes, BUMP_AMP)
+
+
+def test_normal_at_surface_accel(tmp_path):
+    """The opt-in surface-normal acceleration trains stably and still
+    recovers shape on bumpy terrain."""
+    import dataclasses as dc
+    from synth_aoi import build_aoi, BUMP_AMP
+    aoi = build_aoi(str(tmp_path / "nsurf"), bumpy=True)
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    train_ds = SatelliteDataset(cfg, split="train")
+    val_ds = SatelliteDataset(cfg, split="val")
+
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       layers=4, feat=64, skips=(2,), normal="analystic",
+                       func_m=True, func_f=True, func_h=1)
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True,
+                        normal_at_surface=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=400,
+                       ds_lambda=10.0, brdf_on=0.0, nr_reg_an_lambda=0.1)
+    run = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
+                         ckpts_dir=str(tmp_path / "c"),
+                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+    import dataclasses as dc2
+
+    def fit_one(rcfg_used, tag):
+        run_used = RunConfig(model=mcfg, render=rcfg_used, train=tcfg)
+        pth = TrainerPaths(logs_dir=str(tmp_path / f"l_{tag}"),
+                           ckpts_dir=str(tmp_path / f"c_{tag}"),
+                           gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+        tr = Trainer(run_used, train_ds.store, pth, val_dataset=val_ds,
+                     seed=0)
+        last = tr.fit(max_steps=400, log_every=200,
+                      eval_every_n_epochs=1000, progress=False)
+        assert np.isfinite(last["loss"])
+        scal = tr.validate(epoch=0)
+        return min(v for k, v in scal.items()
+                   if "mae_" in k and "nr" not in k)
+
+    mae_surf = fit_one(rcfg, "surf")
+    mae_exact = fit_one(dc2.replace(rcfg, normal_at_surface=False), "exact")
+    # acceleration must not lose fidelity: same ballpark as exact mode and
+    # far better than an untrained field (~BUMP_AMP)
+    assert mae_surf < BUMP_AMP, mae_surf
+    assert mae_surf < mae_exact * 1.5 + 1.0, (mae_surf, mae_exact)
