@@ -116,6 +116,13 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--std_quirk", type=int, default=1,
                    help="reproduce the reference's zero-std GT-delta "
                         "guided sampling (satellite_rgb_dep.py:407-408)")
+    p.add_argument("--normal_at_surface", action="store_true",
+                   help="TPU acceleration: analytic normal once per ray at "
+                        "the expected surface (~1.8x step speedup; deviates "
+                        "from reference per-sample-normal semantics)")
+    p.add_argument("--fast_sin", type=int, default=1,
+                   help="polynomial siren activation (1.7e-5 abs err); "
+                        "0 = exact jnp.sin for strict parity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--n_devices", type=int, default=0,
@@ -158,7 +165,8 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         hapke_theta=args.hapke_theta, hapke_h=args.hapke_h,
         hapke_b0=args.hapke_b0, shell_hapke=args.shell_hapke,
         hpk_scl=args.hpk_scl, glossy_scale=args.glossy_scale,
-        fresnel_f0=args.f0, multi_brdf=args.multi_brdf)
+        fresnel_f0=args.f0, multi_brdf=args.multi_brdf,
+        fast_sin=bool(getattr(args, "fast_sin", 1)))
     brdf_requested = (args.roughness or args.func_m or args.func_f
                       or args.func_h or args.hapke_b or args.shell_hapke)
     rcfg = RenderConfig(
@@ -169,6 +177,7 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         apply_brdf=bool(brdf_requested and args.brdf_on < 1.0),
         apply_theta=bool(brdf_requested and args.brdf_on < 0.5),
         gsam_only=args.gsam_only,
+        normal_at_surface=bool(getattr(args, "normal_at_surface", False)),
         use_sat_sun=(args.data == "sat"))
     tcfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size,
