@@ -59,13 +59,16 @@ def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     depth = float(np.asarray(res0["depth_coarse"])[0])
     surf = ray[0:3] + depth * ray[3:6]
 
-    # synthetic rays: origin pushed back from the surface along each view
-    # direction so the surface sits mid-interval
+    # synthetic rays: each ray starts above the surface at the camera
+    # position along the view direction and DESCENDS through the surface
+    # (rays_d = -view), so the to-camera vector pts2c = -rays_d equals the
+    # intended view direction and the surface sits mid-interval
+    # (matches eval.py:300-363's get_view_dirs geometry).
     far = float(ray[7])
-    origins = surf[None] - views * (0.5 * far)
+    origins = surf[None] + views * (0.5 * far)
     rays_v = np.zeros((n_views, 11), np.float32)
     rays_v[:, 0:3] = origins
-    rays_v[:, 3:6] = views
+    rays_v[:, 3:6] = -views
     rays_v[:, 6] = 0.0
     rays_v[:, 7] = far
     rays_v[:, 8:11] = sun_d

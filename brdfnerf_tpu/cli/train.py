@@ -40,7 +40,8 @@ def main(argv=None):
             infile_postfix=args.infile_postfix,
             cache_dir=args.cache_dir,
             std_quirk=bool(args.std_quirk),
-            load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
+            load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")),
+            sparse_depth=(args.model == "sat-nerf" and args.ds_lambda > 0))
         train_ds = SatelliteDataset(sat_cfg, split="train")
         val_ds = SatelliteDataset(sat_cfg, split="val")
         store = train_ds.store
@@ -55,7 +56,8 @@ def main(argv=None):
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
     trainer = Trainer(cfg, store, paths, val_dataset=val_ds, mesh=mesh,
                       seed=args.seed, use_tb=args.tensorboard,
-                      in_ckpts=args.in_ckpts, resume_from=args.ckpt_path)
+                      in_ckpts=args.in_ckpts, resume_from=args.ckpt_path,
+                      depth_store=getattr(train_ds, "depth_store", None))
     trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
                 save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)

@@ -458,8 +458,23 @@ class SatelliteDataset:
                 cfg.aoi_id, cfg.mod_alt_bound)
         # UTM zone for DSM reconstruction, from the first image's rays
         self.utm_zone: Optional[Tuple[int, str]] = None
+        self.depth_store: Optional[Dict[str, np.ndarray]] = None
         if split == "train":
             self.store = self._load_images(self.train_files)
+            if cfg.sparse_depth:
+                # sat-nerf keypoint mode: a SEPARATE store of tie-point rays
+                # with BA depths + confidence weights; the trainer draws an
+                # extra sub-batch from it each step and the train step runs
+                # a second forward pass for the depth loss (reference:
+                # datasets/__init__.py:19-26 second loader +
+                # main.py:177-183,256-262 second forward).
+                sparse = load_sparse_depth(
+                    self.train_files, cfg.root_dir, self.scene,
+                    cfg.img_downscale, cfg.cs, cfg.aoi_id,
+                    cfg.mod_alt_bound)
+                self.depth_store = {"rays": sparse["rays"],
+                                    "depths": sparse["depths"],
+                                    "ts": sparse["ts"]}
         else:
             self.val_files = [self.train_files[0]] + self.test_files
             self.val_ids = [0] + [len(self.train_files) + i
@@ -503,7 +518,8 @@ class SatelliteDataset:
         rays = self.scene.normalize_rays(rays).astype(np.float32)
         return rays, h, w, cols, rows
 
-    def _load_one(self, t: int, json_p: str, with_depth: bool) -> Dict:
+    def _load_one(self, t: int, json_p: str, with_depth: bool,
+                  depth_required: bool = False) -> Dict:
         cfg = self.cfg
         meta = self._image_meta(json_p)
         rays, h, w, cols, rows = self._image_rays(meta)
@@ -526,12 +542,22 @@ class SatelliteDataset:
                     meta, self.depth_dir, self.scene, cfg.img_downscale,
                     cfg.cs, cfg.corrscale, cfg.stdscale, cfg.margin,
                     cfg.std_quirk))
-            except (OSError, IOError):
-                pass   # validation images may have no depth files
+            except (OSError, IOError) as e:
+                # Validation images may legitimately have no MicMac depth
+                # triplet; for TRAINING images a missing triplet would
+                # silently drop depth supervision for the whole store (the
+                # reference fails loudly at load, satellite_rgb_dep.py) —
+                # fail loudly here too.
+                if depth_required:
+                    raise RuntimeError(
+                        f"load_depth is set but MicMac depth files for "
+                        f"training image {meta['img']!r} could not be read "
+                        f"from {self.depth_dir}: {e}") from e
         return out
 
     def _load_images(self, json_files: List[str]) -> Dict[str, np.ndarray]:
-        parts = [self._load_one(t, p, self.cfg.load_depth)
+        parts = [self._load_one(t, p, self.cfg.load_depth,
+                                depth_required=self.cfg.load_depth)
                  for t, p in enumerate(json_files)]
         keys = ["rays", "rgbs", "ts", "rows", "cols"]
         if self.cfg.load_depth and all("depths" in p for p in parts):

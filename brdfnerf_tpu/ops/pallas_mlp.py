@@ -142,7 +142,8 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+    dtype = (jnp.bfloat16
+             if cfg.compute_dtype in ("bfloat16", "bfloat16_all")
              else jnp.float32)
     packed = pack_trunk_weights(params, cfg, dtype)
     n, ein = x_enc.shape

@@ -108,6 +108,23 @@ def compute_losses(params, mcfg: ModelConfig, rcfg: RenderConfig,
         loss = loss + jnp.where(gates.ds_on, dloss, 0.0)
         terms.update(d)
 
+    # sat-nerf sparse keypoint depth: a SECOND forward pass on tie-point
+    # rays from the separate keypoint store (main.py:256-262 renders
+    # batch['depth'] with mode='test'); the loss is the plain MSE path
+    # (DepthLoss subset=False, metrics.py:147 — keypoint weights are NOT
+    # applied there, only subset mode uses them).
+    if tcfg.ds_lambda > 0 and "kp_rays" in batch:
+        kp_inp = RenderInputs(rays=batch["kp_rays"],
+                              ts=batch.get("kp_ts"),
+                              cos_irra_on=gates.cos_irra_on)
+        kp_res = render_rays(params, mcfg, rcfg, kp_inp, key, train=False)
+        dloss, d = L.depth_loss(
+            kp_res, batch["kp_depths"][:, 0], batch["kp_depths"][:, 1],
+            lambda_ds=tcfg.ds_lambda, gnll=tcfg.gnll,
+            usealldepth=tcfg.usealldepth, subset=False)
+        loss = loss + jnp.where(gates.ds_on, dloss, 0.0)
+        terms.update({f"kp_{k}": v for k, v in d.items()})
+
     perc_bad_nr = jnp.asarray(-1.0)
     if mcfg.variant == "spsbrdf-nerf":
         # normal regularization after nrrg_on (main.py:270-285)

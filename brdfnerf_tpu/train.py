@@ -79,7 +79,8 @@ class Trainer:
                  mesh=None, seed: int = 0, use_tb: bool = False,
                  freeze: Optional[List[str]] = None,
                  in_ckpts: Optional[str] = None,
-                 resume_from: Optional[str] = None):
+                 resume_from: Optional[str] = None,
+                 depth_store: Optional[Dict[str, np.ndarray]] = None):
         self.cfg = cfg
         self.paths = paths
         self.val_dataset = val_dataset
@@ -93,6 +94,18 @@ class Trainer:
                                   "valid_normal") if k in train_store]
         self.batcher = RayBatcher({k: train_store[k] for k in batch_keys},
                                   tcfg.batch_size, seed=seed)
+        # sat-nerf keypoint depth: a second batcher over the tie-point store;
+        # each step's batch carries a kp_* sub-batch for the extra forward
+        # pass in compute_losses (reference main.py:177-183 second loader,
+        # same batch size, sat-nerf only)
+        self.depth_batcher = None
+        if (depth_store is not None and tcfg.ds_lambda > 0
+                and cfg.model.variant == "sat-nerf"):
+            self.depth_batcher = RayBatcher(
+                {"rays": depth_store["rays"], "depths": depth_store["depths"],
+                 "ts": depth_store["ts"]},
+                min(tcfg.batch_size, depth_store["rays"].shape[0]),
+                seed=seed + 7)
         self.steps_per_epoch = self.batcher.steps_per_epoch
         self.max_steps = tcfg.max_train_steps
 
@@ -213,7 +226,12 @@ class Trainer:
             if prof_window and step == prof_window[1]:
                 jax.profiler.stop_trace()
                 prof_window = None
-            batch = self._place_batch(self.batcher.next_batch())
+            batch = self.batcher.next_batch()
+            if self.depth_batcher is not None:
+                kb = self.depth_batcher.next_batch()
+                batch = dict(batch, kp_rays=kb["rays"],
+                             kp_depths=kb["depths"], kp_ts=kb["ts"])
+            batch = self._place_batch(batch)
             self._key, k = jax.random.split(self._key)
             step_fn = self._get_step_fn(self._static_phase(step))
             gates = self._gates(step, epoch)

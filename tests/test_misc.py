@@ -82,6 +82,12 @@ def test_brf_probe_shapes():
     assert out["rgb"].shape == (11, 3)
     assert "brf" in out and out["brf"].shape == (11, 3)
     assert np.isfinite(out["brf"]).all()
+    # the probe must actually sweep view geometry: with probe rays
+    # descending through the surface (pts2c == intended view dir), the
+    # BRDF's view-zenith cosine spans cos(60 deg)..1 across the fan, so
+    # the emitted BRF must vary with the fan angle (guards against the
+    # round-1 bug where every view collapsed to vza ~ 90 deg).
+    assert np.ptp(out["brf"], axis=0).max() > 1e-4
 
 
 def test_guards_roundtrip(capsys):

@@ -84,6 +84,53 @@ def test_satnerf_beta_uncertainty(store, tmp_path):
          tmp_path)
 
 
+def test_satnerf_sparse_keypoint_depth(tmp_path):
+    """sat-nerf + ds_lambda>0 routes tie-point rays through a second
+    forward pass: the dataset exposes depth_store, the trainer draws kp_*
+    sub-batches, and the depth-loss term is nonzero (reference:
+    datasets/__init__.py:19-26 + main.py:256-262)."""
+    aoi = build_aoi(str(tmp_path / "kp_aoi"), with_keypoints=True)
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2, sparse_depth=True)
+    ds = SatelliteDataset(cfg, split="train")
+    assert ds.depth_store is not None
+    assert ds.depth_store["rays"].shape[0] > 0
+    assert ds.depth_store["depths"].shape[1] == 2
+
+    mcfg = _small(model_config_for_variant("sat-nerf"))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40,
+                       ds_lambda=10.0, first_beta_epoch=0)
+
+    # unit-level: the kp_* branch contributes a nonzero depth term
+    from brdfnerf_tpu.parallel.train_step import (compute_losses,
+                                                  create_train_state,
+                                                  TrainGates)
+    state, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg,
+                                  steps_per_epoch=10)
+    n = 64
+    batch = {k: jnp.asarray(v[:n]) for k, v in ds.store.items()
+             if k in ("rays", "rgbs", "ts")}
+    batch["kp_rays"] = jnp.asarray(ds.depth_store["rays"][:n])
+    batch["kp_depths"] = jnp.asarray(ds.depth_store["depths"][:n])
+    batch["kp_ts"] = jnp.asarray(ds.depth_store["ts"][:n])
+    gates = TrainGates(*(jnp.asarray(True),) * 5)
+    _, (terms, _) = compute_losses(state.params, mcfg, rcfg, tcfg, batch,
+                                   jax.random.PRNGKey(1), gates)
+    assert "kp_coarse_ds" in terms
+    assert float(terms["kp_coarse_ds"]) > 0.0
+
+    # e2e: the trainer wires the second batcher and still converges
+    run = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
+                         ckpts_dir=str(tmp_path / "c"))
+    tr = Trainer(run, ds.store, paths, seed=0, depth_store=ds.depth_store)
+    assert tr.depth_batcher is not None
+    first = tr.fit(max_steps=6, log_every=1, progress=False)
+    last = tr.fit(max_steps=40, log_every=40, progress=False)
+    assert np.isfinite(last["loss"]) and last["loss"] < first["loss"]
+
+
 def test_spsnerf_guided(store, tmp_path):
     mcfg = _small(model_config_for_variant("sps-nerf"))
     rcfg = RenderConfig(n_samples=8, guided_samples=8)
