@@ -158,7 +158,11 @@ class Trainer:
             self.state = replicate(mesh, self.state)
 
         self._step_fns: Dict[Any, Any] = {}
-        self._render_fn = None
+        # render fns cached BY RenderConfig (frozen dataclass -> hashable):
+        # a later render_image(rcfg=...) with a different config compiles a
+        # new program instead of silently reusing the first one, and the
+        # per-epoch cross-section dump reuses one compiled fn for the run
+        self._render_fns: Dict[Any, Any] = {}
         self._key = jax.random.PRNGKey(seed + 1)
         self.eval_chunk = 16384          # --chunk (opt.py:182) analog
 
@@ -274,6 +278,12 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
 
+    def _get_render_fn(self, rcfg: RenderConfig):
+        if rcfg not in self._render_fns:
+            self._render_fns[rcfg] = make_render_step(
+                self.cfg.model, rcfg, mesh=self.mesh)
+        return self._render_fns[rcfg]
+
     def render_image(self, sample: Dict, chunk: Optional[int] = None,
                      rcfg: Optional[RenderConfig] = None) -> Dict[str, np.ndarray]:
         """Full-image render via a fixed-shape jitted chunk fn."""
@@ -290,9 +300,7 @@ class Trainer:
                             and self.cfg.render.apply_brdf),
                 apply_theta=(self.cfg.train.brdf_on < 0.5
                              and self.cfg.render.apply_theta))
-        if self._render_fn is None:
-            self._render_fn = make_render_step(self.cfg.model, rcfg,
-                                               mesh=self.mesh)
+        render_fn = self._get_render_fn(rcfg)
         rays = sample["rays"]
         n = rays.shape[0]
         # predefined_val_ts = 0 (main.py:416-417)
@@ -307,7 +315,7 @@ class Trainer:
                                ts=jnp.zeros(chunk, jnp.int32),
                                cos_irra_on=jnp.asarray(
                                    self.cfg.train.cos_irra_on < 1.0))
-            res = self._render_fn(self.state.params, inp, key)
+            res = render_fn(self.state.params, inp, key)
             for k2 in ("rgb_coarse", "depth_coarse", "albedo_accu_coarse",
                        "irradiance_coarse"):
                 if k2 in res:
@@ -323,7 +331,7 @@ class Trainer:
         h, w = sample["h"], sample["w"]
         row = h // 2
         rays = sample["rays"][row * w:(row + 1) * w]
-        fn = make_render_step(self.cfg.model, self.cfg.render)
+        fn = self._get_render_fn(self.cfg.render)
         inp = RenderInputs(rays=jnp.asarray(rays),
                            ts=jnp.zeros(rays.shape[0], jnp.int32),
                            cos_irra_on=jnp.asarray(False))

@@ -82,6 +82,24 @@ def test_validation_and_dsm(datasets, aoi, tmp_path):
     assert os.path.isdir(os.path.join(paths.logs_dir, "rdsm"))
 
 
+def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path):
+    """render_image(rcfg=...) with a new config must compile a new program
+    instead of silently reusing the first cached one (round-1 bug)."""
+    import dataclasses as dc
+    train_ds, val_ds = datasets
+    cfg = _run_cfg(max_train_steps=10)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l3"),
+                         ckpts_dir=str(tmp_path / "c3"))
+    tr = Trainer(cfg, train_ds.store, paths, seed=0)
+    s = val_ds.get_image(0)
+    out1 = tr.render_image(s)
+    rc2 = dc.replace(cfg.render, n_samples=cfg.render.n_samples * 4)
+    out2 = tr.render_image(s, rcfg=rc2)
+    assert len(tr._render_fns) == 2
+    # the second config provably drives the render: 4x samples changes depth
+    assert not np.allclose(out1["depth_coarse"], out2["depth_coarse"])
+
+
 def test_checkpoint_roundtrip_and_handoff(datasets, tmp_path):
     train_ds, _ = datasets
     cfg = _run_cfg(max_train_steps=20)
