@@ -237,6 +237,19 @@ def sigma_fn(params, cfg: ModelConfig, xyz):
     return _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
 
 
+def sigma_and_sun_v(params, cfg: ModelConfig, xyz, sun_d):
+    """Density + learned sun visibility in one trunk forward — the minimal
+    program for the solar-correction pass along sun rays (the reference's
+    intended-but-undefined inference_sun, rendering.py:281)."""
+    feats = _trunk_features(params, cfg, xyz)
+    sigma = _head(params, cfg, "sigma_from_xyz", feats,
+                  final="softplus")[..., 0]
+    xyz_features = _linear(params["feats_from_xyz"][0], feats,
+                           cfg.compute_dtype)
+    sun_v = _sun_v_head(params, cfg, xyz_features, sun_d)
+    return sigma, sun_v
+
+
 def analytic_normals(params, cfg: ModelConfig, xyz):
     """-normalize(grad_xyz sigma): exact analog of calc_normals
     (spsbrdfnerf.py:648-660) expressed as jax.grad of the summed density —

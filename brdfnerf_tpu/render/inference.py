@@ -114,6 +114,27 @@ def sigma_pass(params, mcfg: ModelConfig, rcfg: RenderConfig,
             "weights": weights, "transparency": transparency, "z_vals": z_vals}
 
 
+def solar_correction_pass(params, mcfg: ModelConfig, rcfg: RenderConfig,
+                          rays_o, sun_d, z_vals, key=None) -> Dict:
+    """Solar-correction pass for spsbrdf-nerf with sun_v='learned': march
+    along SUN rays from each ray origin (xyz = o + sun_d * z, the s-nerf
+    convention at rendering.py:199-204,219-224), compositing sigma for
+    transparency/weights and querying the learned sun-visibility head at
+    each sun-ray point.  This realizes the reference's *intended*
+    rendering.py:278-284 block — its `inference_sun` was never defined, so
+    the torch path NameErrors on this config."""
+    from ..models.network import sigma_and_sun_v
+    n_rays, n_samples = z_vals.shape
+    xyz = _flat_points(rays_o, sun_d, z_vals).reshape(-1, 3)
+    sun_flat = _expand(sun_d, n_samples)
+    sigma, sun_v = sigma_and_sun_v(params, mcfg, xyz, sun_flat)
+    sigmas = sigma.reshape(n_rays, n_samples)
+    _, transparency, weights, _ = composite(z_vals, sigmas, rcfg.noise_std,
+                                            key)
+    return {"sun": sun_v.reshape(n_rays, n_samples, 1),
+            "weights": weights, "transparency": transparency}
+
+
 def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
                       rays_o, rays_d, z_vals, sun_d,
                       t_emb: Optional[jnp.ndarray] = None,
@@ -238,6 +259,12 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
     # ------------------------------------------------ BRDF branches
     brdf_active = apply_brdf or (mcfg.uses_hapke and mcfg.shell_hapke > 0)
     if brdf_active:
+        if normal is None:
+            raise ValueError(
+                "apply_brdf requires a normal mode ('analystic', 'learned' "
+                "or 'analystic_learned'), got normal='none': the BRDF "
+                "geometry terms need surface normals (spsbrdfnerf.py:234-239)")
+
         def accum(v):   # per-sample (N,S,3) -> per-ray weighted sum (N,3)
             return jnp.sum(weights[..., None] * v, axis=-2)
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig, RenderConfig
 from ..ops.sampling import stratified_z_vals, sample_pdf, guided_samples
 from .inference import (inference_classic, inference_shadow, inference_spsbrdf,
-                        sigma_pass)
+                        sigma_pass, solar_correction_pass)
 
 
 class RenderInputs(NamedTuple):
@@ -147,10 +147,12 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
                     sun_d, t_emb, z_vals, keys, train: bool) -> Dict:
     net = params["coarse"] if "coarse" in params else params
     if rcfg.guided_samples <= 0:
-        return inference_spsbrdf(net, mcfg, rcfg, rays_o, rays_d, z_vals,
-                                 sun_d, t_emb=t_emb,
-                                 cos_irra_on=inp.cos_irra_on,
-                                 rows=inp.rows, cols=inp.cols, key=keys[1])
+        result = inference_spsbrdf(net, mcfg, rcfg, rays_o, rays_d, z_vals,
+                                   sun_d, t_emb=t_emb,
+                                   cos_irra_on=inp.cos_irra_on,
+                                   rows=inp.rows, cols=inp.cols, key=keys[1])
+        return _spsbrdf_sc(result, net, mcfg, rcfg, rays_o, sun_d, z_vals,
+                           keys[7])
 
     # phase 1: sigma only (rendering.py:232)
     res1 = sigma_pass(net, mcfg, rcfg, rays_o, rays_d, z_vals, key=keys[1])
@@ -191,6 +193,24 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
                                cos_irra_on=inp.cos_irra_on,
                                rows=inp.rows, cols=inp.cols, key=keys[4])
     result["z_vals_unsort"] = z_unsort
+    return _spsbrdf_sc(result, net, mcfg, rcfg, rays_o, sun_d, z_final,
+                       keys[7])
+
+
+def _spsbrdf_sc(result: Dict, net, mcfg, rcfg, rays_o, sun_d, z_vals, key):
+    """Attach spsbrdf solar-correction keys when sun_v is learned.  The
+    reference intended this pass (rendering.py:278-284) but its
+    `inference_sun` is undefined — here it is a real sigma + learned-sun_v
+    march along sun rays.  Always materialized for sun_v='learned' (like
+    the s-nerf branch); XLA dead-code-eliminates it in programs whose loss
+    doesn't consume the sc keys."""
+    if mcfg.sun_v != "learned":
+        return result
+    sc = solar_correction_pass(net, mcfg, rcfg, rays_o, sun_d, z_vals,
+                               key=key)
+    result["weights_sc"] = sc["weights"]
+    result["transparency_sc"] = sc["transparency"]
+    result["sun_sc"] = sc["sun"]
     return result
 
 

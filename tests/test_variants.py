@@ -170,6 +170,55 @@ def test_spsbrdf_multibrdf_and_sun_march(store, tmp_path):
     _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
 
 
+def test_spsbrdf_solar_correction(store, tmp_path):
+    """spsbrdf-nerf + sun_v='learned' + sc_lambda>0: the render emits
+    sun_sc/transparency_sc/weights_sc via a real sigma+sun_v march along
+    sun rays (the reference's rendering.py:278-284 intent — its
+    inference_sun is undefined, so this config NameErrors in torch)."""
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="learned",
+                       func_m=True, func_f=True, func_h=1,
+                       layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=30,
+                       ds_lambda=10.0, brdf_on=0.0, sc_lambda=0.05)
+    tr, _ = _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
+
+    # the sc keys are materialized with the right shapes in both the
+    # guided and non-guided spsbrdf paths
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    import dataclasses as dc
+    rays = jnp.asarray(store["rays"][:16])
+    for gs in (8, 0):
+        rc = dc.replace(rcfg, guided_samples=gs)
+        res = render_rays(tr.state.params, mcfg, rc,
+                          RenderInputs(rays=rays,
+                                       cos_irra_on=jnp.asarray(False)),
+                          jax.random.PRNGKey(0), train=False)
+        n_s = res["z_vals_coarse"].shape[1]
+        assert res["sun_sc_coarse"].shape == (16, n_s, 1)
+        assert res["transparency_sc_coarse"].shape == (16, n_s)
+        assert res["weights_sc_coarse"].shape == (16, n_s)
+        assert np.isfinite(np.asarray(res["sun_sc_coarse"])).all()
+
+
+def test_multibrdf_requires_normal(store):
+    """apply_brdf with normal='none' raises a clear config error instead of
+    an AttributeError deep in the BRDF math."""
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="none", func_m=True, func_f=True, func_h=1,
+                       multi_brdf=True, layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0, apply_brdf=True)
+    from brdfnerf_tpu.models.network import init_network
+    params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg)}
+    rays = jnp.asarray(store["rays"][:8])
+    with pytest.raises(ValueError, match="normal"):
+        render_rays(params, mcfg, rcfg,
+                    RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False)),
+                    jax.random.PRNGKey(0))
+
+
 def test_gsam_only_mode(store, tmp_path):
     mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
                        layers=4, feat=64, skips=(2,))
