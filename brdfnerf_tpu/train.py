@@ -68,6 +68,12 @@ class ScalarLog:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, float(v), step)
 
+    def log_image(self, step: int, tag: str, img_hw3_uint8):
+        """TensorBoard image grid (main.py:680-685 add_images analog);
+        no-op without a TB writer (the PNG on disk is always written)."""
+        if self.tb is not None:
+            self.tb.add_image(tag, img_hw3_uint8, step, dataformats="HWC")
+
 
 def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -316,12 +322,37 @@ class Trainer:
                                cos_irra_on=jnp.asarray(
                                    self.cfg.train.cos_irra_on < 1.0))
             res = render_fn(self.state.params, inp, key)
-            for k2 in ("rgb_coarse", "depth_coarse", "albedo_accu_coarse",
-                       "irradiance_coarse"):
+            keep = chunk - pad if pad else chunk
+            for k2 in self.PER_RAY_KEYS:
                 if k2 in res:
-                    v = np.asarray(res[k2])
-                    outs.setdefault(k2, []).append(v[:chunk - pad if pad else chunk])
+                    outs.setdefault(k2, []).append(np.asarray(res[k2])[:keep])
+            # per-sample panel fields -> per-ray maps, accumulated ON
+            # DEVICE so only (chunk, C) crosses to host, not (chunk, S, C)
+            # (the reference hauls full per-sample tensors to the host,
+            # main.py:426-455)
+            w = res.get("weights_coarse")
+            for k2, how in self.PANEL_ACCUM.items():
+                if k2 not in res or w is None:
+                    continue
+                acc = (jnp.mean(res[k2], axis=-2) if how == "mean"
+                       else jnp.sum(w[..., None] * res[k2], axis=-2))
+                outs.setdefault(k2, []).append(np.asarray(acc)[:keep])
         return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
+
+    # per-ray result keys fetched verbatim by render_image
+    PER_RAY_KEYS = ("rgb_coarse", "depth_coarse", "albedo_accu_coarse")
+    # per-sample (N, S, C) fields reduced to per-ray panel maps: weighted
+    # sum along samples ('wsum') or plain mean ('mean', irradiance —
+    # main.py:446-449 averages it)
+    PANEL_ACCUM = {
+        "albedo_coarse": "wsum", "sun_coarse": "wsum", "sky_coarse": "wsum",
+        "normal_an_coarse": "wsum", "normal_lr_coarse": "wsum",
+        "roughness_coarse": "wsum", "rpv_k_coarse": "wsum",
+        "rpv_theta_coarse": "wsum", "rpv_rhoc_coarse": "wsum",
+        "hpk_b_coarse": "wsum", "hpk_c_coarse": "wsum",
+        "hpk_theta_coarse": "wsum", "beta_coarse": "wsum",
+        "irradiance_coarse": "mean",
+    }
 
     def _save_cross_section(self, sample: Dict, epoch: int,
                             chunk: int = 4096):
@@ -356,24 +387,12 @@ class Trainer:
             s = ds.get_image(idx)
             out = self.render_image(s)
             h, w = s["h"], s["w"]
+            is_val = s.get("is_val", True)
             if s.get("save_cross"):
                 try:
                     self._save_cross_section(s, epoch)
                 except Exception as e:
                     print(f"[val] cross-section dump failed: {e}")
-            try:
-                from .utils import viz
-                panel = viz.image_stack([
-                    (np.clip(out["rgb_coarse"].reshape(h, w, 3), 0, 1)
-                     * 255).astype(np.uint8),
-                    (np.clip(s["rgbs"].reshape(h, w, 3), 0, 1)
-                     * 255).astype(np.uint8),
-                    viz.depth_to_rgb(out["depth_coarse"], h, w)])
-                viz.save_png(os.path.join(
-                    self.paths.logs_dir,
-                    f"val_{idx}_epoch{epoch}.png"), panel)
-            except Exception as e:
-                print(f"[val] panel save failed: {e}")
             rgb = out["rgb_coarse"].reshape(h, w, 3)
             gt = s["rgbs"].reshape(h, w, 3)
             mask = s.get("mask")
@@ -381,19 +400,43 @@ class Trainer:
                     if mask is not None else None)
             p = float(psnr_metric(jnp.asarray(rgb), jnp.asarray(gt), mval))
             sv = float(ssim_metric(jnp.asarray(rgb), jnp.asarray(gt)))
-            tag = "val" if s.get("is_val", True) else "train_"
+            tag = "val" if is_val else "train_"
             scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv}
+            rep = None
             if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
                 depth = out["depth_coarse"]
                 dsm, prof = dsm_mod.dsm_from_depth(
                     s["rays"], depth, ds.scene, cs=ds.cfg.cs,
                     utm_zone=ds.utm_zone)
+                if not is_val:
+                    # train-image "fair MAE": Cloud2Grid NaN infill before
+                    # diffing, so train/val MAE compare apples-to-apples
+                    # (main.py:624-629, sat_utils.py:299-313)
+                    dsm = dsm_mod.interpolate_nans(dsm)
                 rep = dsm_mod.mae_report(
                     dsm, prof, self.paths.gt_dir, self.paths.aoi_id,
                     out_dir=os.path.join(self.paths.logs_dir, "rdsm"),
                     src_id=s.get("src_id", str(idx)), epoch_number=epoch)
                 scal[f"{tag}/mae_{idx}"] = rep.mae
                 scal[f"{tag}/mae_nr_{idx}"] = rep.mae_nr
+            try:
+                from .utils import viz
+                # full panel stack (rgb/gt/depth + BRDF/normal/sun maps;
+                # DSM diff panels on the fair-MAE train image,
+                # main.py:426-558,630-636)
+                panel = viz.render_summary_panels(
+                    out, s["rgbs"], h, w,
+                    diff=rep.diff if (rep is not None and not is_val)
+                    else None,
+                    diff_nr=rep.diff_nr if (rep is not None and not is_val)
+                    else None)
+                viz.save_png(os.path.join(
+                    self.paths.logs_dir,
+                    f"val_{idx}_epoch{epoch}.png"), panel)
+                self.log.log_image(int(self.state.step),
+                                   f"{tag}/panels_{idx}", panel)
+            except Exception as e:
+                print(f"[val] panel save failed: {e}")
             all_scalars.update(scal)
         self.log.log(int(self.state.step), all_scalars)
         vals = [v for k2, v in all_scalars.items() if k2.startswith("val/psnr")]

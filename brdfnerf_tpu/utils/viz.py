@@ -96,28 +96,45 @@ def save_png(path: str, img: np.ndarray):
     Image.fromarray(img).save(path)
 
 
-def render_summary_panels(result: Dict[str, np.ndarray], gt_rgb: np.ndarray,
-                          h: int, w: int) -> np.ndarray:
+# (key, norm mode) of the per-ray accumulated maps rendered as panels, in
+# the reference's stack order (main.py:426-558): albedo, sun visibility,
+# sky color, normals (analytic / learned), roughness, RPV k/theta/rhoc,
+# Hapke b/c/theta, irradiance, beta uncertainty.
+PANEL_MODES = (
+    ("albedo_coarse", "none"), ("sun_coarse", "none"),
+    ("sky_coarse", "none"), ("normal_an_coarse", "-1et1"),
+    ("normal_lr_coarse", "-1et1"), ("roughness_coarse", "minmax"),
+    ("rpv_k_coarse", "minmax"), ("rpv_theta_coarse", "-1et1"),
+    ("rpv_rhoc_coarse", "minmax"), ("hpk_b_coarse", "minmax"),
+    ("hpk_c_coarse", "minmax"), ("hpk_theta_coarse", "minmax"),
+    ("irradiance_coarse", "none"), ("beta_coarse", "minmax"),
+)
+
+
+def render_summary_panels(maps: Dict[str, np.ndarray], gt_rgb: np.ndarray,
+                          h: int, w: int,
+                          diff: Optional[np.ndarray] = None,
+                          diff_nr: Optional[np.ndarray] = None) -> np.ndarray:
     """The per-image validation stack (main.py:426-558 analog): rgb / gt /
-    depth / albedo / irradiance / sun / normals / BRDF parameter maps,
-    whichever the result dict carries."""
-    panels = [_to_uint8(result["rgb_coarse"].reshape(h, w, 3)),
+    depth plus albedo / irradiance / sun / normals / BRDF-parameter maps —
+    whichever per-ray accumulated (N, C) maps the dict carries (as produced
+    by Trainer.render_image) — and optionally the registered DSM diff
+    panels (main.py:630-636: diff clipped to +/-20 m, normal-angle diff to
+    0..90 deg)."""
+    panels = [_to_uint8(maps["rgb_coarse"].reshape(h, w, 3)),
               _to_uint8(gt_rgb.reshape(h, w, 3)),
-              depth_to_rgb(result["depth_coarse"], h, w)]
-    wgt = result.get("weights_coarse")
-    for key, mode in (("albedo_coarse", "none"), ("sun_coarse", "none"),
-                      ("sky_coarse", "none"), ("normal_an_coarse", "-1et1"),
-                      ("normal_lr_coarse", "-1et1"),
-                      ("roughness_coarse", "minmax"),
-                      ("rpv_k_coarse", "minmax"),
-                      ("rpv_theta_coarse", "-1et1"),
-                      ("rpv_rhoc_coarse", "minmax"),
-                      ("hpk_b_coarse", "minmax"), ("hpk_c_coarse", "minmax"),
-                      ("hpk_theta_coarse", "minmax")):
-        if key in result and wgt is not None:
-            panels.append(accumulate_feature(wgt, result[key], h, w, mode))
-    if "irradiance_coarse" in result and wgt is not None:
-        panels.append(accumulate_feature(
-            np.ones_like(wgt) / wgt.shape[-1],
-            result["irradiance_coarse"], h, w, "none"))
+              depth_to_rgb(maps["depth_coarse"], h, w)]
+    for key, mode in PANEL_MODES:
+        if key not in maps:
+            continue
+        img = np.asarray(maps[key]).reshape(h, w, -1)
+        if img.shape[-1] == 1:
+            panels.append(colorize(img[..., 0], mode))
+        else:
+            panels.append(_to_uint8(normalize_field(img, mode)))
+    if diff is not None:
+        panels.append(colorize((np.clip(diff, -20.0, 20.0) + 20.0) / 40.0,
+                               "none"))
+    if diff_nr is not None:
+        panels.append(colorize(np.clip(diff_nr, 0.0, 90.0) / 90.0, "none"))
     return image_stack(panels)

@@ -82,6 +82,49 @@ def test_validation_and_dsm(datasets, aoi, tmp_path):
     assert os.path.isdir(os.path.join(paths.logs_dir, "rdsm"))
 
 
+def test_validation_panel_stack(datasets, aoi, tmp_path):
+    """validate() writes the full multi-panel summary (rgb/gt/depth +
+    BRDF parameter, normal, sun maps + fair-MAE diff panels on the train
+    image), the main.py:426-558 analog; render_image exposes the per-ray
+    accumulated maps the panels need."""
+    train_ds, val_ds = datasets
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="analystic",
+                       func_m=True, func_f=True, func_h=1,
+                       layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=20,
+                       ds_lambda=10.0, brdf_on=0.0)
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "lp"),
+                         ckpts_dir=str(tmp_path / "cp"),
+                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+    tr = Trainer(cfg, train_ds.store, paths, val_dataset=val_ds, seed=0)
+    tr.fit(max_steps=20, log_every=20, eval_every_n_epochs=1000,
+           progress=False)
+
+    s = val_ds.get_image(0)
+    out = tr.render_image(s)
+    # per-ray accumulated BRDF/normal maps are exposed
+    n = s["rays"].shape[0]
+    assert out["rpv_k_coarse"].shape == (n, 3)
+    assert out["normal_an_coarse"].shape == (n, 3)
+    assert out["sun_coarse"].shape == (n, 1)
+
+    tr.validate(epoch=0)
+    from PIL import Image
+    for idx in range(len(val_ds)):
+        p = os.path.join(paths.logs_dir, f"val_{idx}_epoch0.png")
+        assert os.path.exists(p), p
+    img = np.asarray(Image.open(
+        os.path.join(paths.logs_dir, "val_0_epoch0.png")))
+    h = s["h"]
+    n_panels = (img.shape[0] + 2) // (h + 2)
+    # rgb + gt + depth + albedo + sun + normal_an + rpv k/theta/rhoc +
+    # irradiance >= 10, plus the train-image diff panels
+    assert n_panels >= 10, n_panels
+
+
 def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path):
     """render_image(rcfg=...) with a new config must compile a new program
     instead of silently reusing the first cached one (round-1 bug)."""
