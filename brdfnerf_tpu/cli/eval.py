@@ -21,7 +21,7 @@ import numpy as np
 from . import opts as opts_mod
 
 
-def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
+def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              checkpoints_dir: str = None, output_dir: str = None) -> Dict:
     import jax.numpy as jnp
     from ..train import Trainer, TrainerPaths
@@ -35,6 +35,9 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
     out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
+    # --split: 'train' renders every training image, anything else the
+    # fixed val set (train img 0 + test imgs) (eval.py:238-249)
+    ds_split = "train_render" if split == "train" else "val"
     if args.data == "blender":
         from ..data.blender import BlenderDataset
         val_ds = BlenderDataset(args.root_dir, split="val",
@@ -52,7 +55,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
             cache_dir=args.cache_dir,
             std_quirk=bool(getattr(args, "std_quirk", 1)),
             load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
-        val_ds = SatelliteDataset(sat_cfg, split="val")
+        val_ds = SatelliteDataset(sat_cfg, split=ds_split)
         store = None
 
     ckpts_dir = checkpoints_dir or os.path.join(args.ckpts_dir, args.exp_name)
@@ -86,6 +89,16 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
         p_scl = float(psnr_m(rgb_s, gt_s, mval))
         sv_scl = float(ssim_m(rgb_s, gt_s))
         src = s.get("src_id", str(idx))
+        # full diagnostic panel stack (eval.py:494-497 save_nerf_output
+        # analog): rgb/gt/depth + BRDF parameter / normal / sun maps
+        try:
+            from ..utils import viz
+            panel = viz.render_summary_panels(
+                out, gt, h, w,
+                visu_scale=float(getattr(args, "visu_scale", 1.0)))
+            viz.save_png(os.path.join(out_dir, f"{src}_panels.png"), panel)
+        except Exception as e:
+            print(f"[eval] panel save failed: {e}")
         write_geotiff(os.path.join(out_dir, f"{src}_rgb.tif"),
                       (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
                       .transpose(2, 0, 1), GeoProfile())
@@ -103,10 +116,10 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "eval",
                     dsm, prof, args.gt_dir, args.aoi_id,
                     out_dir=os.path.join(out_dir, "rdsm"),
                     src_id=src, epoch_number=epoch_number)
-                if s.get("is_val", True):
+                if s.get("is_val", True) or split == "train":
                     maes.append(rep.mae)
                     maes_nr.append(rep.mae_nr)
-        if s.get("is_val", True):
+        if s.get("is_val", True) or split == "train":
             psnrs.append(p)
             ssims.append(sv)
         print(f"{src}: psnr {p:.2f} ({p_scl:.2f} scl) "

@@ -63,14 +63,14 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_embbeding_vocab", type=int, default=30)
     p.add_argument("--beta", action="store_true")
     p.add_argument("--mapping", action="store_true")
-    p.add_argument("--gnll", action="store_true")
+    p.add_argument("--GNLL", "--gnll", dest="gnll", action="store_true")
     p.add_argument("--usealldepth", action="store_true")
     p.add_argument("--guided_samples", type=int, default=64)
     p.add_argument("--margin", type=float, default=0.0001)
     p.add_argument("--stdscale", type=float, default=1.0)
     p.add_argument("--corrscale", type=float, default=1.0)
     p.add_argument("--siren", type=int, default=1)
-    p.add_argument("--mod_alt_bound", action="store_true")
+    p.add_argument("--mod_alt_bound", type=int, default=1)   # opt.py:323
     p.add_argument("--sun_v", type=str, default="none",
                    choices=["none", "analystic", "learned"])
     p.add_argument("--indirect_light", action="store_true")
@@ -88,10 +88,18 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--gsam_only_on", type=float, default=1.0)
     p.add_argument("--gsam_only", action="store_true")
     # BRDF (opt.py:261-309)
-    p.add_argument("--MultiBRDF", dest="multi_brdf", action="store_true")
+    p.add_argument("--MultiBRDF", dest="multi_brdf", type=int, default=0)
     p.add_argument("--roughness", action="store_true")
+    p.add_argument("--pretrain_normal", action="store_true",
+                   help="parsed for script compatibility; inert in the "
+                        "reference too (opt.py:305 has no consumer)")
+    p.add_argument("--toyBRDF", dest="toy_brdf", action="store_true",
+                   help="reference debug visualization (manual normal/"
+                        "roughness in val images, main.py:557); parsed but "
+                        "not implemented here")
     p.add_argument("--glossy_scale", type=float, default=1.0)
-    p.add_argument("--f0", type=float, default=0.04)
+    p.add_argument("--fresnel_f0", "--f0", dest="f0", type=float,
+                   default=0.04)
     p.add_argument("--shell_hapke", type=int, default=0)
     p.add_argument("--hpk_scl", type=float, default=4.0)
     p.add_argument("--b", dest="hapke_b", action="store_true")
@@ -104,13 +112,25 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--funcH", dest="func_h", type=int, default=0)
     p.add_argument("--dim_RPV", dest="dim_rpv", type=int, default=1)
     p.add_argument("--input_viewdir", type=int, default=0)
+    # reflectance-encoder flags: parsed by the reference (opt.py:312-315)
+    # but consumed NOWHERE in its model code — kept here with the same
+    # parse-only behavior (postprocess defaults fc_feat_ref to fc_feat,
+    # opt.py:334-335) so run scripts port unchanged
+    p.add_argument("--fc_feat_ref", type=int, default=0)
+    p.add_argument("--fc_layers_ref", type=int, default=0)
+    p.add_argument("--eval", dest="eval_mode", type=int, default=0,
+                   help="1 = load in_ckpts fully and freeze ALL parameters "
+                        "(reference load mode (c), main.py:91-96)")
     # dataset details
     p.add_argument("--aoi_id", type=str, default="Dji_012")
     p.add_argument("--cs", type=str, default="utm", choices=["utm", "ecef"])
     p.add_argument("--inputdds", type=str, default="DenseDepth_ZM4")
-    p.add_argument("--infile_postfix", type=str, default=".txt")
+    # reference default is "" with ".txt" appended in postprocess
+    # (opt.py:343)
+    p.add_argument("--infile_postfix", type=str, default="")
     p.add_argument("--scale", type=float, default=1.0 / 255.0)
-    p.add_argument("--dRange", dest="std_range", type=float, default=3.0)
+    p.add_argument("--std_range", "--dRange", dest="std_range", type=float,
+                   default=3.0)
     p.add_argument("--use_disp", action="store_true")
     p.add_argument("--img_wh", type=int, nargs=2, default=(400, 400))
     p.add_argument("--std_quirk", type=int, default=1,
@@ -123,6 +143,18 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast_sin", type=int, default=1,
                    help="polynomial siren activation (1.7e-5 abs err); "
                         "0 = exact jnp.sin for strict parity")
+    # visualization / logging cadence (opt.py:164-167,246-250,267-268,298)
+    p.add_argument("--visu_scale", type=float, default=1.0,
+                   help="brightness multiplier on rgb/gt/albedo panels")
+    p.add_argument("--save_visu_every_n_epochs", type=int, default=1)
+    p.add_argument("--save_file_every_n_epochs", type=int, default=-1)
+    p.add_argument("--save_first_n_visu", type=int, default=0)
+    p.add_argument("--TestNormal", dest="test_normal", type=int, default=0,
+                   choices=[0, 1])
+    p.add_argument("--TestSun_v", dest="test_sun_v", type=int, default=0,
+                   choices=[0, 1])
+    p.add_argument("--print_debuginfo", action="store_true",
+                   help="enable the NaN-guard debug layer (utils.guards)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--n_devices", type=int, default=0,
@@ -138,7 +170,10 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--logs_dir", type=str, required=True)
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--epoch_number", type=int, required=True)
-    p.add_argument("--split", type=str, default="eval")
+    p.add_argument("--split", type=str, default="val",
+                   help="'val' = train img 0 + test imgs; 'train' = render "
+                        "every training image (eval.py:238-249)")
+    p.add_argument("--infile_postfix", type=str, default="")
     p.add_argument("--checkpoints_dir", type=str, default=None)
     return p
 
@@ -147,6 +182,12 @@ def postprocess(args: argparse.Namespace) -> argparse.Namespace:
     args.nr_spv_type = derive_nr_spv_type(args.normal, args.nr_spv_type)
     if args.sun_v != "learned":
         args.sc_lambda = 0.0                      # opt.py:339-341
+    if not args.infile_postfix.endswith(".txt"):
+        args.infile_postfix += ".txt"             # opt.py:343
+    if getattr(args, "fc_feat_ref", 0) == 0:
+        args.fc_feat_ref = args.fc_feat           # opt.py:334-335
+    if getattr(args, "eval_mode", 0) and not args.in_ckpts:
+        raise SystemExit("--eval 1 requires --in_ckpts (main.py:91-92)")
     return args
 
 
@@ -165,7 +206,7 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         hapke_theta=args.hapke_theta, hapke_h=args.hapke_h,
         hapke_b0=args.hapke_b0, shell_hapke=args.shell_hapke,
         hpk_scl=args.hpk_scl, glossy_scale=args.glossy_scale,
-        fresnel_f0=args.f0, multi_brdf=args.multi_brdf,
+        fresnel_f0=args.f0, multi_brdf=bool(args.multi_brdf),
         fast_sin=bool(getattr(args, "fast_sin", 1)))
     brdf_requested = (args.roughness or args.func_m or args.func_f
                       or args.func_h or args.hapke_b or args.shell_hapke)

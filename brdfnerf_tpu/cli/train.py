@@ -19,6 +19,10 @@ def main(argv=None):
     opts_mod.dump_opts(args, run_dir)
     cfg = opts_mod.to_run_config(args)
 
+    if args.print_debuginfo:
+        from ..utils import guards
+        guards.enable(True)
+
     from ..train import Trainer, TrainerPaths
 
     if args.data == "blender":
@@ -36,7 +40,7 @@ def main(argv=None):
             depth_subdir=args.inputdds, aoi_id=args.aoi_id, cs=args.cs,
             img_downscale=args.img_downscale, scale=args.scale,
             corrscale=args.corrscale, stdscale=args.stdscale,
-            margin=args.margin, mod_alt_bound=args.mod_alt_bound,
+            margin=args.margin, mod_alt_bound=bool(args.mod_alt_bound),
             infile_postfix=args.infile_postfix,
             cache_dir=args.cache_dir,
             std_quirk=bool(args.std_quirk),
@@ -54,10 +58,16 @@ def main(argv=None):
     ckpts_dir = os.path.join(args.ckpts_dir, args.exp_name)
     paths = TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir,
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
+    # --eval 1: load in_ckpts fully, freeze ALL parameters (the reference's
+    # load mode (c), main.py:91-96 + opt.py:320)
+    freeze = ["all"] if args.eval_mode else None
     trainer = Trainer(cfg, store, paths, val_dataset=val_ds, mesh=mesh,
                       seed=args.seed, use_tb=args.tensorboard,
                       in_ckpts=args.in_ckpts, resume_from=args.ckpt_path,
-                      depth_store=getattr(train_ds, "depth_store", None))
+                      depth_store=getattr(train_ds, "depth_store", None),
+                      freeze=freeze, visu_scale=args.visu_scale,
+                      save_first_n_visu=args.save_first_n_visu,
+                      save_visu_every_n_epochs=args.save_visu_every_n_epochs)
     trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
                 save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)

@@ -475,6 +475,11 @@ class SatelliteDataset:
                 self.depth_store = {"rays": sparse["rays"],
                                     "depths": sparse["depths"],
                                     "ts": sparse["ts"]}
+        elif split == "train_render":
+            # eval --split train: render every TRAINING image as a full
+            # image (eval.py:238-249 split selection)
+            self.val_files = list(self.train_files)
+            self.val_ids = list(range(len(self.train_files)))
         else:
             self.val_files = [self.train_files[0]] + self.test_files
             self.val_ids = [0] + [len(self.train_files) + i
@@ -578,7 +583,7 @@ class SatelliteDataset:
         sample = self._load_one(self.val_ids[idx], json_p,
                                 self.cfg.load_depth)
         sample["mask"] = load_mask(json_p, sample["h"], sample["w"])
-        sample["is_val"] = idx > 0
+        sample["is_val"] = (self.split != "train_render") and idx > 0
         sample["save_cross"] = idx == 0
         sample["idx"] = idx
         return sample

@@ -86,7 +86,10 @@ class Trainer:
                  freeze: Optional[List[str]] = None,
                  in_ckpts: Optional[str] = None,
                  resume_from: Optional[str] = None,
-                 depth_store: Optional[Dict[str, np.ndarray]] = None):
+                 depth_store: Optional[Dict[str, np.ndarray]] = None,
+                 visu_scale: float = 1.0,
+                 save_first_n_visu: int = 0,
+                 save_visu_every_n_epochs: int = 1):
         self.cfg = cfg
         self.paths = paths
         self.val_dataset = val_dataset
@@ -130,13 +133,19 @@ class Trainer:
                                     self.opt.init(self.state.params),
                                     self.state.step)
         if in_ckpts:
-            # two-stage handoff: trunk + sigma + feats (+ rgb unless Hapke)
-            include = ckpt.handoff_include("coarse", cfg.model.hapke_b)
+            if freeze and "all" in freeze:
+                # --eval load mode (c): restore EVERYTHING, all frozen
+                # (main.py:91-96)
+                include = None
+            else:
+                # two-stage handoff: trunk + sigma + feats (+ rgb unless
+                # Hapke)
+                include = ckpt.handoff_include("coarse", cfg.model.hapke_b)
             params = ckpt.restore_params(self.state.params, in_ckpts,
-                                         include=include)
+                                         include=include, strict=False)
             self.state = TrainState(params, self.opt.init(params),
                                     self.state.step)
-            print(f"[handoff] restored {include} from {in_ckpts}")
+            print(f"[handoff] restored {include or 'ALL'} from {in_ckpts}")
         if resume_from:
             params = ckpt.restore_params(self.state.params, resume_from)
             step = ckpt.checkpoint_step(resume_from)
@@ -171,6 +180,11 @@ class Trainer:
         self._render_fns: Dict[Any, Any] = {}
         self._key = jax.random.PRNGKey(seed + 1)
         self.eval_chunk = 16384          # --chunk (opt.py:182) analog
+        # visualization cadence (main.py:368-389): panels written for the
+        # first N epochs and every save_visu_every_n_epochs afterwards
+        self.visu_scale = visu_scale
+        self.save_first_n_visu = save_first_n_visu
+        self.save_visu_every_n_epochs = max(1, save_visu_every_n_epochs)
 
     def _place_batch(self, batch: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -419,24 +433,28 @@ class Trainer:
                     src_id=s.get("src_id", str(idx)), epoch_number=epoch)
                 scal[f"{tag}/mae_{idx}"] = rep.mae
                 scal[f"{tag}/mae_nr_{idx}"] = rep.mae_nr
-            try:
-                from .utils import viz
-                # full panel stack (rgb/gt/depth + BRDF/normal/sun maps;
-                # DSM diff panels on the fair-MAE train image,
-                # main.py:426-558,630-636)
-                panel = viz.render_summary_panels(
-                    out, s["rgbs"], h, w,
-                    diff=rep.diff if (rep is not None and not is_val)
-                    else None,
-                    diff_nr=rep.diff_nr if (rep is not None and not is_val)
-                    else None)
-                viz.save_png(os.path.join(
-                    self.paths.logs_dir,
-                    f"val_{idx}_epoch{epoch}.png"), panel)
-                self.log.log_image(int(self.state.step),
-                                   f"{tag}/panels_{idx}", panel)
-            except Exception as e:
-                print(f"[val] panel save failed: {e}")
+            save_visu = (epoch <= self.save_first_n_visu
+                         or epoch % self.save_visu_every_n_epochs == 0)
+            if save_visu:
+                try:
+                    from .utils import viz
+                    # full panel stack (rgb/gt/depth + BRDF/normal/sun maps;
+                    # DSM diff panels on the fair-MAE train image,
+                    # main.py:426-558,630-636)
+                    panel = viz.render_summary_panels(
+                        out, s["rgbs"], h, w,
+                        diff=rep.diff if (rep is not None and not is_val)
+                        else None,
+                        diff_nr=rep.diff_nr if (rep is not None and not is_val)
+                        else None,
+                        visu_scale=self.visu_scale)
+                    viz.save_png(os.path.join(
+                        self.paths.logs_dir,
+                        f"val_{idx}_epoch{epoch}.png"), panel)
+                    self.log.log_image(int(self.state.step),
+                                       f"{tag}/panels_{idx}", panel)
+                except Exception as e:
+                    print(f"[val] panel save failed: {e}")
             all_scalars.update(scal)
         self.log.log(int(self.state.step), all_scalars)
         vals = [v for k2, v in all_scalars.items() if k2.startswith("val/psnr")]

@@ -119,7 +119,8 @@ def freeze_mask(params: Any, frozen_prefixes: Iterable[str]) -> Any:
     """Pytree of bools: True where the parameter is trainable.  Feed to
     optax.masked to freeze heads (spsbrdfnerf.freeze:617-621 analog)."""
     flat = _flatten(params)
-    frozen = list(frozen_prefixes)
+    # 'all' freezes everything (reference freeze('all'), spsbrdfnerf.py:617)
+    frozen = ["" if p == "all" else p for p in frozen_prefixes]
 
     def trainable(key: str) -> bool:
         return not any(key.startswith(p) for p in frozen)

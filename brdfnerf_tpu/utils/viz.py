@@ -114,20 +114,26 @@ PANEL_MODES = (
 def render_summary_panels(maps: Dict[str, np.ndarray], gt_rgb: np.ndarray,
                           h: int, w: int,
                           diff: Optional[np.ndarray] = None,
-                          diff_nr: Optional[np.ndarray] = None) -> np.ndarray:
+                          diff_nr: Optional[np.ndarray] = None,
+                          visu_scale: float = 1.0) -> np.ndarray:
     """The per-image validation stack (main.py:426-558 analog): rgb / gt /
     depth plus albedo / irradiance / sun / normals / BRDF-parameter maps —
     whichever per-ray accumulated (N, C) maps the dict carries (as produced
     by Trainer.render_image) — and optionally the registered DSM diff
     panels (main.py:630-636: diff clipped to +/-20 m, normal-angle diff to
     0..90 deg)."""
-    panels = [_to_uint8(maps["rgb_coarse"].reshape(h, w, 3)),
-              _to_uint8(gt_rgb.reshape(h, w, 3)),
+    # visu_scale brightens rgb / gt / albedo panels only
+    # (main.py:464-470, eval.py:422-428)
+    vs = float(visu_scale)
+    panels = [_to_uint8(maps["rgb_coarse"].reshape(h, w, 3) * vs),
+              _to_uint8(gt_rgb.reshape(h, w, 3) * vs),
               depth_to_rgb(maps["depth_coarse"], h, w)]
     for key, mode in PANEL_MODES:
         if key not in maps:
             continue
         img = np.asarray(maps[key]).reshape(h, w, -1)
+        if key == "albedo_coarse":
+            img = img * vs
         if img.shape[-1] == 1:
             panels.append(colorize(img[..., 0], mode))
         else:

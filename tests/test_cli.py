@@ -62,6 +62,87 @@ def test_sc_lambda_zeroed_without_learned_sun():
     assert args.sc_lambda == 0.0                      # opt.py:339-341
 
 
+def test_reference_readme_cmdline_parses():
+    """The verbatim stage-2 BRDF training command from the reference README
+    (README.md:99-132) parses and maps onto the run config, flag names
+    unchanged — plus the reference-only spellings --GNLL / --std_range /
+    --fresnel_f0 / --MultiBRDF 1 / --fc_feat_ref (opt.py:213,259,279,312)."""
+    from brdfnerf_tpu.cli.opts import train_parser, postprocess, to_run_config
+    argv = [
+        "--aoi_id", "Dji_012", "--model", "spsbrdf-nerf",
+        "--exp_name", "BRDF-NeRF-Dji_012-ds10-ir0_Imscl1-nranalystic-bo0-RPV111",
+        "--root_dir", "/tmp/root", "--img_dir", "/tmp/img",
+        "--cache_dir", "/tmp/cache", "--gt_dir", "/tmp/gt",
+        "--logs_dir", "/tmp/logs", "--ckpts_dir", "/tmp/ckpts",
+        "--max_train_steps", "80000", "--lr", "0.0002152",
+        "--ds_lambda", "10", "--mapping", "--in_ckpts", "/tmp/epoch=9.npz",
+        "--normal", "analystic", "--brdf_on", "0", "--visu_scale", "2",
+        "--scale", "1", "--funcM", "1", "--funcF", "1", "--funcH", "1",
+        "--cos_irra_on", "0",
+        # reference-only spellings
+        "--GNLL", "--std_range", "2.5", "--fresnel_f0", "0.05",
+        "--MultiBRDF", "1", "--fc_feat_ref", "256", "--fc_layers_ref", "2",
+        "--mod_alt_bound", "1", "--infile_postfix", "",
+    ]
+    args = postprocess(train_parser().parse_args(argv))
+    assert args.gnll is True
+    assert args.std_range == pytest.approx(2.5)
+    assert args.f0 == pytest.approx(0.05)
+    assert args.multi_brdf == 1 and args.visu_scale == pytest.approx(2.0)
+    assert args.infile_postfix == ".txt"              # opt.py:343
+    assert args.fc_feat_ref == 256                    # explicit value kept
+    cfg = to_run_config(args)
+    assert cfg.model.variant == "spsbrdf-nerf"
+    assert cfg.model.func_m and cfg.model.func_f and cfg.model.func_h == 1
+    assert cfg.model.multi_brdf is True
+    assert cfg.model.fresnel_f0 == pytest.approx(0.05)
+    assert cfg.render.std_range == pytest.approx(2.5)
+    assert cfg.train.gnll is True
+    # fc_feat_ref defaults to fc_feat when 0 (opt.py:334-335)
+    args2 = postprocess(train_parser().parse_args(
+        ["--root_dir", "/tmp", "--exp_name", "x", "--fc_feat", "256"]))
+    assert args2.fc_feat_ref == 256
+    # --eval 1 without --in_ckpts refuses (main.py:91-92)
+    with pytest.raises(SystemExit):
+        postprocess(train_parser().parse_args(
+            ["--root_dir", "/tmp", "--exp_name", "x", "--eval", "1"]))
+
+
+def test_eval_freeze_all_mode(aoi, tmp_path):
+    """--eval 1 + --in_ckpts: every parameter frozen — a training step
+    changes nothing (reference load mode (c), main.py:91-96)."""
+    from brdfnerf_tpu.cli.train import main as train_main
+    import jax
+    logs, ckpts = str(tmp_path / "l"), str(tmp_path / "c")
+    base = [
+        "--model", "sps-nerf", "--root_dir", aoi["root"],
+        "--logs_dir", logs, "--ckpts_dir", ckpts,
+        "--aoi_id", aoi["aoi_id"], "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "8",
+        "--batch_size", "256", "--ds_lambda", "10", "--lr", "1e-3",
+        "--eval_every_n_epochs", "1000"]
+    assert train_main(base + ["--exp_name", "pre",
+                              "--max_train_steps", "30"]) == 0
+    ck = os.path.join(ckpts, "pre")
+    last = sorted(f for f in os.listdir(ck)
+                  if f.startswith("epoch=") and ".opt." not in f)[-1]
+    in_ckpts = os.path.join(ck, last)
+
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+    before = ckpt_mod.load_flat(in_ckpts)
+    assert train_main(base + ["--exp_name", "frozen", "--eval", "1",
+                              "--in_ckpts", in_ckpts,
+                              "--max_train_steps", "10"]) == 0
+    ck2 = os.path.join(ckpts, "frozen")
+    last2 = sorted(f for f in os.listdir(ck2)
+                   if f.startswith("epoch=") and ".opt." not in f)[-1]
+    after = ckpt_mod.load_flat(os.path.join(ck2, last2))
+    for k in before:
+        if k.startswith("__"):
+            continue
+        np.testing.assert_array_equal(before[k], after[k])
+
+
 def test_nr_spv_type_derivation():
     from brdfnerf_tpu.cli.opts import train_parser, postprocess
     args = postprocess(train_parser().parse_args(
