@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from .config import RunConfig, RenderConfig
-from .data.batcher import RayBatcher
+from .data.batcher import RayBatcher, DeviceRayBatcher
 from .parallel.train_step import (TrainGates, TrainState, create_train_state,
                                   make_train_step, make_render_step,
                                   make_optimizer)
@@ -101,8 +101,12 @@ class Trainer:
         batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
                                   "valid_depth", "depth_std", "normals",
                                   "valid_normal") if k in train_store]
-        self.batcher = RayBatcher({k: train_store[k] for k in batch_keys},
-                                  tcfg.batch_size, seed=seed)
+        # single device: store lives on device, one fused gather per step
+        # (only the index vector crosses H2D); mesh: host gather feeding
+        # shard_batch, which places one shard per device
+        batcher_cls = RayBatcher if mesh is not None else DeviceRayBatcher
+        self.batcher = batcher_cls({k: train_store[k] for k in batch_keys},
+                                   tcfg.batch_size, seed=seed)
         # sat-nerf keypoint depth: a second batcher over the tie-point store;
         # each step's batch carries a kp_* sub-batch for the extra forward
         # pass in compute_losses (reference main.py:177-183 second loader,
@@ -110,7 +114,7 @@ class Trainer:
         self.depth_batcher = None
         if (depth_store is not None and tcfg.ds_lambda > 0
                 and cfg.model.variant == "sat-nerf"):
-            self.depth_batcher = RayBatcher(
+            self.depth_batcher = batcher_cls(
                 {"rays": depth_store["rays"], "depths": depth_store["depths"],
                  "ts": depth_store["ts"]},
                 min(tcfg.batch_size, depth_store["rays"].shape[0]),
