@@ -134,6 +134,14 @@ class RenderConfig:
     # stop_gradient (guided sampling, sun visibility), so no VJP is
     # needed.  Requires a single-skip trunk (the reference architecture).
     use_pallas: bool = False
+    # TPU-native: run the DIFFERENTIATED trunk of the main inference
+    # (sigma + feats + analytic density-gradient normals) as a fused
+    # Pallas kernel pair with a hand-derived custom VJP — forward and the
+    # full second-order backward each execute as ONE kernel with all
+    # activations VMEM-resident instead of XLA's per-matmul HBM
+    # round-trips.  Numerically equivalent to the XLA path (gradient
+    # parity tested); same semantics, so legal in reference-parity runs.
+    fused_trunk: bool = False
     # TPU-native ACCELERATION (deviates from reference semantics, off by
     # default): evaluate the analytic density-gradient normal ONCE per ray
     # at the expected surface point (o + depth*d) instead of at every

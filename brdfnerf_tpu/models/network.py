@@ -284,20 +284,29 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
                                dirs=None, sun_d=None, t_emb=None,
                                apply_brdf: bool = False,
                                apply_theta: bool = False,
-                               nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
+                               nr_lr: bool = False,
+                               fused_trunk: bool = False) -> Dict[str, jnp.ndarray]:
     """apply_network + analytic density-gradient normals sharing ONE trunk
     forward: value_and_grad(has_aux) gives sigma, feats, and grad_xyz sigma
     in a single fwd+bwd instead of apply_network's forward plus a second
     forward inside analytic_normals.  Differentiable end-to-end (the outer
-    loss grad sees one fwd+bwd pair to differentiate, not two forwards)."""
-    def trunk_sigma(x):
-        feats = _trunk_features(params, cfg, x)
-        sigma = _head(params, cfg, "sigma_from_xyz", feats,
-                      final="softplus")[..., 0]
-        return jnp.sum(sigma), (feats, sigma)
+    loss grad sees one fwd+bwd pair to differentiate, not two forwards).
 
-    (_, (feats, sigma)), grad_x = jax.value_and_grad(
-        trunk_sigma, has_aux=True)(xyz)
+    fused_trunk: run the differentiated trunk as the fused Pallas kernel
+    pair with a hand-derived custom VJP (ops/pallas_trunk_vjp.py) —
+    numerically equivalent, all activations VMEM-resident."""
+    if fused_trunk:
+        from ..ops.pallas_trunk_vjp import fused_trunk_with_grad
+        sigma, feats, grad_x = fused_trunk_with_grad(params, cfg, xyz)
+    else:
+        def trunk_sigma(x):
+            f = _trunk_features(params, cfg, x)
+            s = _head(params, cfg, "sigma_from_xyz", f,
+                      final="softplus")[..., 0]
+            return jnp.sum(s), (f, s)
+
+        (_, (feats, sigma)), grad_x = jax.value_and_grad(
+            trunk_sigma, has_aux=True)(xyz)
     out: Dict[str, jnp.ndarray] = {"sigma": sigma}
     out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
     return _heads_from_feats(out, params, cfg, feats, dirs, sun_d, t_emb,

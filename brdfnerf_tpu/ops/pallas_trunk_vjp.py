@@ -1,0 +1,464 @@
+"""Fused differentiated trunk: sigma + feats + density-gradient as ONE
+Pallas kernel pair with a hand-derived custom VJP.
+
+The train step's dominant cost (SURVEY.md 3.1; round-1 bench: ~29 ms of a
+57 ms step) is the spsbrdf main inference trunk: an 8x512 siren skip-MLP
+evaluated at N_rays x N_samples points, needing
+
+    sigma(x), feats(x) = h_{L-1}(x),  g(x) = d sigma / d x_enc
+
+(the analytic normal, spsbrdfnerf.py:648-660), all DIFFERENTIATED through
+by the loss — i.e. second-order autodiff.  Under XLA every matmul of the
+forward, the g-chain, and their joint backward round-trips activations
+through HBM (~17 GB/step at bf16 for the flagship shapes), which makes the
+step bytes-bound.  Here the whole computation runs as two Pallas kernels —
+forward (fwd chain + g chain) and backward (primal+tangent recompute +
+second-order reverse sweep, weight grads accumulated across the grid) —
+with every activation VMEM-resident; HBM traffic collapses to inputs,
+outputs, and one weight read per point tile.
+
+Math of the backward (the hand-derived second-order VJP).  With output
+cotangents c_sigma, c_feats, c_g, the scalar being differentiated is
+
+    S = <c_sigma, sigma> + <c_feats, h_{L-1}> + <c_g, g>.
+
+The g term is rewritten as a directional derivative: for each point,
+<c_g, d sigma/d x> = d/d eps sigma(x + eps * c_g)|_0 — so S_g equals the
+tangent output of a JVP with input tangent t_x = c_g.  Running the forward
+WITH this tangent (z_l, h_l, tz_l, th_l) turns the second-order VJP into a
+plain first-order reverse sweep over the doubled (primal, tangent) state:
+
+    a_z = act'(z) * a_h + act''(z) * tz * b_th        (cotangent on z)
+    b_tz = act'(z) * b_th                             (cotangent on tz)
+    dW  += h_prev^T a_z + th_prev^T b_tz
+    db  += sum_rows a_z
+    a_h_prev = a_z W^T ;  b_th_prev = b_tz W^T
+
+seeded at the sigma head with a = c_sigma*softplus'(zs) + softplus''(zs)*tzs
+and b = softplus'(zs), plus c_feats added to a_h_{L-1}.
+
+x_enc never needs a gradient in training (ray points are constants: rays
+are batch data, stratified z from near/far, guided z stop-gradiented), so
+the wrapper stop-gradients x_enc and the VJP returns zeros for it.
+
+Gradient parity vs. XLA autodiff of the identical math is tested in
+tests/test_pallas.py (CPU interpret mode, float32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from .fast_math import _C1, _C3, _C5, _C7, _C9, _TWO_PI, _INV_2PI
+from .pallas_mlp import pack_trunk_weights, _round_up, TILE_N, LANE
+
+
+# ------------------------------------------------------------- activations
+
+def _act_fwd(z, w0: float, siren: bool, fast: bool):
+    """h = act(w0 * z) (matching models.network._act)."""
+    if not siren:
+        return jnp.maximum(z, 0.0)
+    x = w0 * z
+    if not fast:
+        return jnp.sin(x)
+    v = x - _TWO_PI * jnp.round(x * _INV_2PI)
+    v2 = v * v
+    return v * (_C1 + v2 * (_C3 + v2 * (_C5 + v2 * (_C7 + v2 * _C9))))
+
+
+def _act_d12(z, w0: float, siren: bool, fast: bool):
+    """(act', act'') of act(w0*z) w.r.t. z — the derivatives XLA autodiff
+    produces for the same forward (round() has zero gradient, so the
+    fast_sin range reduction has unit slope)."""
+    if not siren:
+        d1 = (z > 0.0).astype(z.dtype)
+        return d1, jnp.zeros_like(z)
+    x = w0 * z
+    if not fast:
+        return w0 * jnp.cos(x), -(w0 * w0) * jnp.sin(x)
+    v = x - _TWO_PI * jnp.round(x * _INV_2PI)
+    v2 = v * v
+    p1 = _C1 + v2 * (3 * _C3 + v2 * (5 * _C5 + v2 * (7 * _C7 + v2 * 9 * _C9)))
+    p2 = v * (6 * _C3 + v2 * (20 * _C5 + v2 * (42 * _C7 + v2 * 72 * _C9)))
+    return w0 * p1, (w0 * w0) * p2
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _mm(a, b, od):
+    """a @ b with operands cast to the compute dtype, f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(od), b.astype(od),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _mm_t(a, b, od):
+    """a @ b.T (contract b's axis 1)."""
+    return jax.lax.dot_general(
+        a.astype(od), b.astype(od),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _outer(a, b, od):
+    """a.T @ b: (T, M),(T, N) -> (M, N) (contract rows)."""
+    return jax.lax.dot_general(
+        a.astype(od), b.astype(od),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _w0_of(i: int) -> float:
+    return 30.0 if i == 0 else 1.0        # nerf.py:23-33,191
+
+
+def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
+                   fast: bool, od):
+    """Primal chain; returns (z per layer, h per layer, zsig)."""
+    zs, hs = [], []
+    h = None
+    mid = 0
+    for i in range(layers):
+        if i == 0:
+            z = _mm(x, packed["w0"], od) + packed["b0"]
+        elif i == skip:
+            z = (_mm(x, packed["w_skip_top"], od)
+                 + _mm(h, packed["w_skip_bot"], od) + packed["b_skip"])
+        else:
+            z = _mm(h, packed["w_mid"][mid], od) + packed["b_mid"][mid]
+            mid += 1
+        h = _act_fwd(z, _w0_of(i), siren, fast)
+        zs.append(z)
+        hs.append(h)
+    zsig = _mm(h, packed["w_sigma"], od) + packed["b_sigma"]
+    return zs, hs, zsig
+
+
+def _grad_chain(x, packed, zs, zsig, layers: int, skip: int, siren: bool,
+                fast: bool, od, lane_mask):
+    """g = d sigma / d x via reverse sweep (first-order, x cotangent only)."""
+    u = jax.nn.sigmoid(zsig) * lane_mask            # (T, LANE), col 0 real
+    u = _mm_t(u, packed["w_sigma"], od)             # (T, F)
+    gx = None
+    mid = layers - 3                                 # last mid index
+    for i in range(layers - 1, -1, -1):
+        d1, _ = _act_d12(zs[i], _w0_of(i), siren, fast)
+        g = d1 * u
+        if i == 0:
+            c = _mm_t(g, packed["w0"], od)
+            gx = c if gx is None else gx + c
+        elif i == skip:
+            c = _mm_t(g, packed["w_skip_top"], od)
+            gx = c if gx is None else gx + c
+            u = _mm_t(g, packed["w_skip_bot"], od)
+        else:
+            u = _mm_t(g, packed["w_mid"][mid], od)
+            mid -= 1
+    return gx
+
+
+# ------------------------------------------------------------ fwd kernel
+
+def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
+                wsig_r, bsig_r, sigma_ref, feats_ref, gx_ref, *,
+                layers: int, skip: int, siren: bool, fast: bool, od):
+    packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
+              "b_mid": bm_r[:], "w_skip_top": wst_r[:],
+              "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
+              "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
+    x = x_ref[:]
+    zs, hs, zsig = _forward_chain(x, packed, layers, skip, siren, fast, od)
+    lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
+                 == 0).astype(jnp.float32)
+    sigma_ref[:] = _softplus(zsig) * lane_mask
+    feats_ref[:] = hs[-1]
+    gx_ref[:] = _grad_chain(x, packed, zs, zsig, layers, skip, siren, fast,
+                            od, lane_mask)
+
+
+# ------------------------------------------------------------ bwd kernel
+
+def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
+                w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r, wsig_r, bsig_r,
+                dw0_ref, db0_ref, dwm_ref, dbm_ref, dwst_ref, dwsb_ref,
+                dbs_ref, dwsig_ref, dbsig_ref, *,
+                layers: int, skip: int, siren: bool, fast: bool, od):
+    packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
+              "b_mid": bm_r[:], "w_skip_top": wst_r[:],
+              "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
+              "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
+    x = x_ref[:]
+    t = cg_ref[:]                                    # tangent = c_g
+    cs = cs_ref[:]                                   # (T, LANE), col 0 real
+
+    # 1) primal + tangent forward, keeping per-layer state in VMEM
+    zs, hs, zsig = _forward_chain(x, packed, layers, skip, siren, fast, od)
+    tzs, ths = [], []
+    th = None
+    mid = 0
+    for i in range(layers):
+        if i == 0:
+            tz = _mm(t, packed["w0"], od)
+        elif i == skip:
+            tz = (_mm(t, packed["w_skip_top"], od)
+                  + _mm(th, packed["w_skip_bot"], od))
+        else:
+            tz = _mm(th, packed["w_mid"][mid], od)
+            mid += 1
+        d1, _ = _act_d12(zs[i], _w0_of(i), siren, fast)
+        th = d1 * tz
+        tzs.append(tz)
+        ths.append(th)
+    tzsig = _mm(th, packed["w_sigma"], od)
+
+    # 2) head cotangents: S = <cs, softplus(zsig)> + <cf, h_{L-1}>
+    #                       + sum softplus'(zsig)*tzsig   (col 0 only)
+    lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
+                 == 0).astype(jnp.float32)
+    sp1 = jax.nn.sigmoid(zsig)                       # softplus'
+    sp2 = sp1 * (1.0 - sp1)                          # softplus''
+    a_z = (cs * sp1 + sp2 * tzsig) * lane_mask       # cot on zsig
+    b_tz = sp1 * lane_mask                           # cot on tzsig
+
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = jnp.zeros_like(ref)
+        ref[:] += val
+
+    acc(dwsig_ref, _outer(hs[-1], a_z, od) + _outer(ths[-1], b_tz, od))
+    acc(dbsig_ref, jnp.sum(a_z, axis=0))
+    a_h = _mm_t(a_z, packed["w_sigma"], od) + cf_ref[:]
+    b_th = _mm_t(b_tz, packed["w_sigma"], od)
+
+    # 3) reverse sweep over (primal, tangent) pairs
+    dwm_parts = [None] * max(layers - 2, 0)
+    dbm_parts = [None] * max(layers - 2, 0)
+    mid = layers - 3
+    for i in range(layers - 1, -1, -1):
+        d1, d2 = _act_d12(zs[i], _w0_of(i), siren, fast)
+        a_zl = d1 * a_h + d2 * tzs[i] * b_th
+        b_tzl = d1 * b_th
+        if i == 0:
+            acc(dw0_ref, _outer(x, a_zl, od) + _outer(t, b_tzl, od))
+            acc(db0_ref, jnp.sum(a_zl, axis=0))
+        elif i == skip:
+            acc(dwst_ref, _outer(x, a_zl, od) + _outer(t, b_tzl, od))
+            acc(dwsb_ref, _outer(hs[i - 1], a_zl, od)
+                + _outer(ths[i - 1], b_tzl, od))
+            acc(dbs_ref, jnp.sum(a_zl, axis=0))
+            a_h = _mm_t(a_zl, packed["w_skip_bot"], od)
+            b_th = _mm_t(b_tzl, packed["w_skip_bot"], od)
+        else:
+            dwm_parts[mid] = (_outer(hs[i - 1], a_zl, od)
+                              + _outer(ths[i - 1], b_tzl, od))
+            dbm_parts[mid] = jnp.sum(a_zl, axis=0)
+            a_h = _mm_t(a_zl, packed["w_mid"][mid], od)
+            b_th = _mm_t(b_tzl, packed["w_mid"][mid], od)
+            mid -= 1
+    if layers > 2:
+        acc(dwm_ref, jnp.stack(dwm_parts))
+        acc(dbm_ref, jnp.stack(dbm_parts))
+
+
+# --------------------------------------------------------------- plumbing
+
+def _static(cfg: ModelConfig) -> Tuple:
+    return (cfg.layers, cfg.skips[0], cfg.siren, bool(cfg.fast_sin),
+            jnp.bfloat16 if cfg.compute_dtype in ("bfloat16", "bfloat16_all")
+            else jnp.float32)
+
+
+def _interpret_default():
+    return jax.default_backend() == "cpu"
+
+
+def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    layers, skip, siren, fast, od = _static(cfg)
+    n, ein = x_enc.shape
+    ein_p = packed["w0"].shape[0]
+    feat = cfg.feat
+    n_p = _round_up(max(n, TILE_N), TILE_N)
+    x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(
+        x_enc.astype(jnp.float32))
+    grid = (n_p // TILE_N,)
+    kern = functools.partial(_fwd_kernel, layers=layers, skip=skip,
+                             siren=siren, fast=fast, od=od)
+    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    row = lambda c: pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    n_mid = max(layers - 2, 0)
+    params_tpu = (None if interpret else
+                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
+    sigma, feats, gx = pl.pallas_call(
+        kern, grid=grid, compiler_params=params_tpu,
+        in_specs=[row(ein_p),
+                  full((ein_p, feat)), full((feat,)),
+                  full((n_mid, feat, feat)), full((n_mid, feat)),
+                  full((ein_p, feat)), full((feat, feat)), full((feat,)),
+                  full((feat, LANE)), full((LANE,))],
+        out_specs=(row(LANE), row(feat), row(ein_p)),
+        out_shape=(jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((n_p, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)),
+        interpret=interpret,
+    )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
+      packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
+      packed["w_sigma"], packed["b_sigma"])
+    return sigma[:n, 0], feats[:n], gx[:n, :ein]
+
+
+def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
+             interpret=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    layers, skip, siren, fast, od = _static(cfg)
+    n, ein = x_enc.shape
+    ein_p = packed["w0"].shape[0]
+    feat = cfg.feat
+    n_p = _round_up(max(n, TILE_N), TILE_N)
+
+    def padrow(v, cols):
+        out = jnp.zeros((n_p, cols), jnp.float32)
+        return out.at[:n, :v.shape[1]].set(v.astype(jnp.float32))
+
+    x = padrow(x_enc, ein_p)
+    cs = padrow(c_sigma[:, None], LANE)     # col 0; padded rows/cols zero
+    cf = padrow(c_feats, feat)
+    cg = padrow(c_g, ein_p)
+
+    grid = (n_p // TILE_N,)
+    kern = functools.partial(_bwd_kernel, layers=layers, skip=skip,
+                             siren=siren, fast=fast, od=od)
+    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    row = lambda c: pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    n_mid = max(layers - 2, 0)
+    # the per-tile state (z/h/tz/th for every layer + weight-grad
+    # accumulators) exceeds the 16 MB default scoped-vmem budget at the
+    # flagship 8x512 shapes — raise it (v5e has 128 MB VMEM)
+    params_tpu = (None if interpret else
+                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
+    outs = pl.pallas_call(
+        kern, grid=grid, compiler_params=params_tpu,
+        in_specs=[row(ein_p), row(LANE), row(feat), row(ein_p),
+                  full((ein_p, feat)), full((feat,)),
+                  full((n_mid, feat, feat)), full((n_mid, feat)),
+                  full((ein_p, feat)), full((feat, feat)), full((feat,)),
+                  full((feat, LANE)), full((LANE,))],
+        # weight-grad outputs accumulate across the sequential TPU grid:
+        # constant index_map keeps each block VMEM-resident for the whole
+        # kernel, initialized at grid step 0
+        out_specs=(full((ein_p, feat)), full((feat,)),
+                   full((n_mid, feat, feat)), full((n_mid, feat)),
+                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
+                   full((feat, LANE)), full((LANE,))),
+        out_shape=(jax.ShapeDtypeStruct((ein_p, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((feat,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_mid, feat, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((n_mid, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((ein_p, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((feat, feat), jnp.float32),
+                   jax.ShapeDtypeStruct((feat,), jnp.float32),
+                   jax.ShapeDtypeStruct((feat, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((LANE,), jnp.float32)),
+        interpret=interpret,
+    )(x, cs, cf, cg,
+      packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
+      packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
+      packed["w_sigma"], packed["b_sigma"])
+    return outs
+
+
+def _unpack_grads(cfg: ModelConfig, ein: int, outs) -> Dict:
+    """Packed weight grads -> the {fc_net, sigma_from_xyz} pytree."""
+    (dw0, db0, dwm, dbm, dwst, dwsb, dbs, dwsig, dbsig) = outs
+    layers, skip = cfg.layers, cfg.skips[0]
+    fc = []
+    mid = 0
+    for i in range(layers):
+        if i == 0:
+            fc.append({"w": dw0[:ein], "b": db0})
+        elif i == skip:
+            fc.append({"w": jnp.concatenate([dwst[:ein], dwsb], axis=0),
+                       "b": dbs})
+        else:
+            fc.append({"w": dwm[mid], "b": dbm[mid]})
+            mid += 1
+    sig = [{"w": dwsig[:, :1], "b": dbsig[:1]}]
+    return {"fc_net": fc, "sigma_from_xyz": sig}
+
+
+# ------------------------------------------------------------- custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def trunk_core(cfg: ModelConfig, params_sub: Dict, x_enc):
+    """(sigma, feats, d sigma/d x_enc) of the trunk at encoded points.
+
+    params_sub: {'fc_net': [...], 'sigma_from_xyz': [...]}.
+    x_enc carries NO gradient (ray points are constants in training); the
+    VJP returns zeros for it.
+    """
+    packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
+    return _run_fwd(cfg, packed, x_enc)
+
+
+def _trunk_core_fwd(cfg, params_sub, x_enc):
+    out = trunk_core(cfg, params_sub, x_enc)
+    return out, (params_sub, x_enc)
+
+
+def _trunk_core_bwd(cfg, res, cots):
+    params_sub, x_enc = res
+    c_sigma, c_feats, c_g = cots
+    packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
+    outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g)
+    d_params = _unpack_grads(cfg, x_enc.shape[-1], outs)
+    return d_params, jnp.zeros_like(x_enc)
+
+
+trunk_core.defvjp(_trunk_core_fwd, _trunk_core_bwd)
+
+
+def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
+    """Drop-in for the trunk portion of apply_network_with_normals:
+    returns (sigma, feats, d sigma/d xyz) with the positional-encoding
+    jacobian chained in XLA (enc = sin(x P + phase) =>
+    d enc/d x = cos(x P + phase) * P)."""
+    from .encoding import positional_encoding, _proj_and_phase
+    sub = {"fc_net": params["fc_net"],
+           "sigma_from_xyz": params["sigma_from_xyz"]}
+    if cfg.mapping:
+        p, phase = _proj_and_phase(cfg.mapping_sizes[0], xyz.shape[-1])
+        pm = jnp.asarray(p)
+        m = xyz @ pm + jnp.asarray(phase)
+        enc = jnp.sin(m)
+        sigma, feats, gx_enc = trunk_core(
+            cfg, sub, jax.lax.stop_gradient(enc))
+        gx = (gx_enc * jnp.cos(m)) @ pm.T
+    else:
+        sigma, feats, gx_enc = trunk_core(
+            cfg, sub, jax.lax.stop_gradient(xyz))
+        gx = gx_enc
+    return sigma, feats, gx

@@ -157,12 +157,19 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
     apply_brdf = rcfg.apply_brdf
     nr_an_needed = mcfg.normal in ("analystic", "analystic_learned")
     nr_an_at_surface = nr_an_needed and rcfg.normal_at_surface
-    net_fn = (apply_network_with_normals
-              if (nr_an_needed and not nr_an_at_surface) else apply_network)
-    out = net_fn(params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
-                 t_emb=t_flat, apply_brdf=apply_brdf,
-                 apply_theta=rcfg.apply_theta,
-                 nr_lr=mcfg.normal in ("analystic_learned", "learned"))
+    if nr_an_needed and not nr_an_at_surface:
+        out = apply_network_with_normals(
+            params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
+            t_emb=t_flat, apply_brdf=apply_brdf,
+            apply_theta=rcfg.apply_theta,
+            nr_lr=mcfg.normal in ("analystic_learned", "learned"),
+            fused_trunk=rcfg.fused_trunk)
+    else:
+        out = apply_network(
+            params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
+            t_emb=t_flat, apply_brdf=apply_brdf,
+            apply_theta=rcfg.apply_theta,
+            nr_lr=mcfg.normal in ("analystic_learned", "learned"))
 
     albedo = out["rgb"].reshape(n_rays, n_samples, 3)
     sigmas = out["sigma"].reshape(n_rays, n_samples)

@@ -59,6 +59,139 @@ def test_fused_default_reference_arch():
                                atol=5e-5, rtol=5e-5)
 
 
+# ------------------------------------------------ fused trunk custom VJP
+
+def _xla_triple(params, cfg, xyz):
+    """Pure-XLA twin of trunk_core semantics: (sigma, feats, d sigma/d xyz)."""
+    from brdfnerf_tpu.models.network import _head
+
+    def f(x):
+        feats = _trunk_features(params, cfg, x)
+        sigma = _head(params, cfg, "sigma_from_xyz", feats,
+                      final="softplus")[..., 0]
+        return sigma, feats
+
+    gx = jax.grad(lambda x: jnp.sum(f(x)[0]))(xyz)
+    sigma, feats = f(xyz)
+    return sigma, feats, gx
+
+
+@pytest.mark.parametrize("fast_sin,mapping", [(True, True), (False, True),
+                                              (True, False)])
+def test_fused_vjp_forward_parity(fast_sin, mapping):
+    from brdfnerf_tpu.ops.pallas_trunk_vjp import fused_trunk_with_grad
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=mapping,
+                      fast_sin=fast_sin, layers=4, feat=128, skips=(2,),
+                      compute_dtype="float32")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (70, 3), minval=-1.0,
+                             maxval=1.0)
+    s_f, f_f, g_f = fused_trunk_with_grad(params, cfg, xyz)
+    s_r, f_r, g_r = _xla_triple(params, cfg, xyz)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_r),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.parametrize("fast_sin", [True, False])
+def test_fused_vjp_gradient_parity(fast_sin):
+    """The hand-derived second-order VJP matches XLA autodiff: gradients
+    w.r.t. EVERY trunk + sigma-head parameter of a loss touching sigma,
+    feats AND the analytic normal gradient agree (VERDICT round-1 ask)."""
+    from brdfnerf_tpu.ops.pallas_trunk_vjp import fused_trunk_with_grad
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      fast_sin=fast_sin, layers=4, feat=128, skips=(2,),
+                      compute_dtype="float32")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    n = 70
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
+                             maxval=1.0)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    c_s = jax.random.normal(ks[0], (n,))
+    c_f = jax.random.normal(ks[1], (n, cfg.feat)) * 0.1
+    c_g = jax.random.normal(ks[2], (n, 3))
+
+    def loss(triple_fn, p):
+        s, f, g = triple_fn(p, cfg, xyz)
+        # l2_normalize mimics the normal_an consumption downstream
+        from brdfnerf_tpu.ops.compositing import l2_normalize
+        nrm = -l2_normalize(g)
+        return (jnp.sum(c_s * s) + jnp.sum(c_f * f)
+                + jnp.sum(c_g * nrm))
+
+    v_r, g_r = jax.value_and_grad(
+        lambda p: loss(_xla_triple, p))(params)
+    v_f, g_f = jax.value_and_grad(
+        lambda p: loss(lambda p2, c, x: fused_trunk_with_grad(p2, c, x),
+                       p))(params)
+    np.testing.assert_allclose(float(v_f), float(v_r), atol=1e-3, rtol=1e-4)
+
+    flat_r = jax.tree_util.tree_leaves_with_path(g_r)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+    checked = 0
+    for k, v_ref in flat_r:
+        ks_ = jax.tree_util.keystr(k)
+        if not (ks_.startswith("['fc_net']")
+                or ks_.startswith("['sigma_from_xyz']")):
+            continue
+        v_got = flat_f[ks_]
+        scale = max(float(jnp.max(jnp.abs(v_ref))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_got), np.asarray(v_ref),
+            atol=2e-4 * scale, rtol=2e-3, err_msg=ks_)
+        checked += 1
+    assert checked >= 2 * cfg.layers + 2    # every w and b
+
+
+def test_fused_vjp_in_full_render_and_train_grad():
+    """fused_trunk=True reproduces the XLA render AND its parameter
+    gradients inside the real spsbrdf inference (RPV + analytic normals)."""
+    import dataclasses as dc
+    from brdfnerf_tpu.config import RenderConfig
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      normal="analystic", func_m=True, func_f=True,
+                      func_h=1, layers=4, feat=128, skips=(2,),
+                      compute_dtype="float32")
+    params = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
+    n = 24
+    o = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
+                           maxval=1.0)
+    d = jnp.tile(jnp.asarray([[0.0, 0.1, -1.0]]), (n, 1))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.concatenate(
+        [o, d, jnp.zeros((n, 1)), jnp.full((n, 1), 2.0),
+         jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (n, 1))], axis=1)
+    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
+    rcfg_x = RenderConfig(n_samples=8, guided_samples=8, perturb=0.0,
+                          apply_brdf=True)
+    rcfg_f = dc.replace(rcfg_x, fused_trunk=True)
+    key = jax.random.PRNGKey(2)
+    tgt = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
+
+    def loss(p, rcfg):
+        out = render_rays(p, cfg, rcfg, inp, key, train=True)
+        return (jnp.mean((out["rgb_coarse"] - tgt) ** 2)
+                + 0.1 * jnp.mean(out["normal_an_coarse"] ** 2))
+
+    (v_x, g_x) = jax.value_and_grad(loss)(params, rcfg_x)
+    (v_f, g_f) = jax.value_and_grad(loss)(params, rcfg_f)
+    np.testing.assert_allclose(float(v_f), float(v_x), atol=1e-5, rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(ka))
+
+
 def test_render_with_pallas_sigma_pass():
     """Full spsbrdf render with use_pallas matches the XLA path."""
     import dataclasses as dc
