@@ -223,3 +223,135 @@ def parse_rpc_file(path: str) -> Dict:
                         idx = int(key[len(pref) + 1:]) - 1
                         d[target][idx] = float(val)
     return d
+
+
+# --------------------------------------------- image patch cropping (L9)
+
+def lonlat_aoi_from_dsm_roi(roi_txt: str, zone: int, northern: bool = True
+                            ) -> np.ndarray:
+    """AOI corner lon/lats from a {aoi}_DSM.txt ROI file
+    (read_lonlat_aoi, generate_dataset.py:244-270): the UTM bounding box
+    (xoff, yoff_bottom, size, resolution) converted to the 4 geographic
+    corners.  Returns (4, 2) [lon, lat] in ul, ur, lr, ll order."""
+    from .geo.geodesy import latlon_from_utm
+    roi = np.loadtxt(roi_txt)
+    xoff, yoff, size, res = roi[0], roi[1], int(roi[2]), roi[3]
+    e = np.asarray([xoff, xoff + size * res, xoff + size * res, xoff])
+    n = np.asarray([yoff + size * res, yoff + size * res, yoff, yoff])
+    lat, lon = latlon_from_utm(e, n, zone, northern=northern)
+    return np.stack([np.asarray(lon), np.asarray(lat)], -1)
+
+
+def scale_img(img: np.ndarray, vmin: Optional[float] = None,
+              vmax: Optional[float] = None,
+              per_channel: bool = False) -> np.ndarray:
+    """Linear min-max scaling to [0, 255] (ScaleImg,
+    generate_dataset.py:273-300): global by default, per-channel when
+    per_channel (SclIndiv) is set."""
+    img = np.asarray(img, np.float64)
+    if per_channel:
+        out = np.empty_like(img)
+        for c in range(img.shape[0]):
+            lo, hi = img[c].min(), img[c].max()
+            out[c] = (img[c] - lo) * (255.0 / max(hi - lo, 1e-12))
+        return out
+    lo = img.min() if vmin is None else vmin
+    hi = img.max() if vmax is None else vmax
+    return (img - lo) * (255.0 / max(hi - lo, 1e-12))
+
+
+def crop_image_to_aoi(img: np.ndarray, rpc_dict: Dict,
+                      lonlat_corners: np.ndarray, alt: float
+                      ) -> Tuple[np.ndarray, int, int]:
+    """Crop (C, H, W) image to the bounding box of the AOI corners
+    projected through the RPC at altitude `alt` (rpcm.utils.crop_aoi
+    semantics as used at generate_dataset.py:370-375).  Returns
+    (crop, x, y) pixel offsets of the crop's upper-left corner."""
+    rpc = rpc_mod.rpc_from_dict(rpc_dict)
+    lon = np.asarray(lonlat_corners[:, 0], np.float64)
+    lat = np.asarray(lonlat_corners[:, 1], np.float64)
+    col, row = rpc_mod.projection_np(rpc, lon, lat, np.full_like(lon, alt))
+    col, row = np.asarray(col), np.asarray(row)
+    h, w = img.shape[-2], img.shape[-1]
+    x0 = max(0, int(np.floor(col.min())))
+    y0 = max(0, int(np.floor(row.min())))
+    x1 = min(w, int(np.ceil(col.max())) + 1)
+    y1 = min(h, int(np.ceil(row.max())) + 1)
+    return img[..., y0:y1, x0:x1], x0, y0
+
+
+def adjust_rpc_offsets(rpc_dict: Dict, x: int, y: int) -> Dict:
+    """RPC offset fixups after cropping (generate_dataset.py:375-377:
+    rpc.row_offset -= y; rpc.col_offset -= x)."""
+    d = dict(rpc_dict)
+    d["row_offset"] = float(d["row_offset"]) - float(y)
+    d["col_offset"] = float(d["col_offset"]) - float(x)
+    return d
+
+
+def crop_image_patches(aoi_id: str, dsm_dir: str, images: Sequence[Tuple],
+                       out_dir: str, utm_zone: int, northern: bool = True,
+                       sun_angles: Optional[Dict] = None,
+                       uint8: bool = True, splits: bool = True,
+                       seed: Optional[int] = 0) -> str:
+    """CropImagePatches (generate_dataset.py:302-428) on this repo's
+    formats: crop every source image to the GT-DSM AOI at the DSM's mean
+    altitude, fix up the RPC offsets, write the unscaled crop plus a
+    uint8 min-max-scaled copy under RGB-crops/<aoi>/scled/, copy the
+    Truth DSM pair, emit per-image JSONs with the adjusted RPCs, masks,
+    and train/test splits.
+
+    images: sequence of (geotiff_path, rpc_dict).  Bundle adjustment
+    stays an external tool (run_ba, see module docstring); JSONs carry
+    the crop-adjusted original RPCs.
+    Returns the root_dir holding the JSONs + splits."""
+    import shutil
+    roi_txt = os.path.join(dsm_dir, f"{aoi_id}_DSM.txt")
+    dsm_tif = os.path.join(dsm_dir, f"{aoi_id}_DSM.tif")
+    corners = lonlat_aoi_from_dsm_roi(roi_txt, utm_zone, northern)
+    dsm_arr, _ = read_geotiff(dsm_tif)
+    finite = dsm_arr[0][np.isfinite(dsm_arr[0])]
+    alt_me = float(finite.mean())
+    min_alt, max_alt = (int(np.round(finite.min() - 1)),
+                        int(np.round(finite.max() + 1)))
+
+    base = os.path.join(out_dir, f"dataset{aoi_id}", aoi_id)
+    truth_dir = os.path.join(base, "Truth")
+    crops_dir = os.path.join(base, "RGB-crops", aoi_id)
+    scled_dir = os.path.join(crops_dir, "scled")
+    root_dir = os.path.join(out_dir, f"dataset{aoi_id}", "root_dir", aoi_id)
+    for d in (truth_dir, scled_dir, root_dir):
+        os.makedirs(d, exist_ok=True)
+    shutil.copyfile(roi_txt, os.path.join(truth_dir,
+                                          os.path.basename(roi_txt)))
+    shutil.copyfile(dsm_tif, os.path.join(truth_dir,
+                                          os.path.basename(dsm_tif)))
+
+    json_paths = []
+    for img_path, rpc_dict in images:
+        arr, prof = read_geotiff(img_path)
+        crop, x, y = crop_image_to_aoi(arr, rpc_dict, corners, alt_me)
+        rpc_adj = adjust_rpc_offsets(rpc_dict, x, y)
+        name = os.path.basename(img_path)
+        new_prof = GeoProfile(width=crop.shape[-1], height=crop.shape[-2],
+                              ulx=prof.ulx, uly=prof.uly, xres=prof.xres,
+                              yres=prof.yres, epsg=prof.epsg,
+                              nodata=prof.nodata)
+        write_geotiff(os.path.join(crops_dir, name),
+                      crop.astype(arr.dtype), new_prof)
+        scld = crop
+        if uint8:
+            scld = scale_img(crop).astype(np.uint8)
+        scld_path = os.path.join(scled_dir, name)
+        write_geotiff(scld_path, scld, new_prof)
+        sun = (sun_angles or {}).get(
+            os.path.splitext(name)[0], (45.0, 180.0))
+        json_paths.append(create_image_json(
+            scld_path, rpc_adj, sun[0], sun[1], root_dir,
+            min_alt=min_alt, max_alt=max_alt))
+
+    if splits:
+        names = [os.path.basename(p) for p in json_paths]
+        train, test = create_train_test_splits(names, seed=seed)
+        write_splits(root_dir, train, test)
+    return root_dir

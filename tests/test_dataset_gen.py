@@ -89,3 +89,80 @@ def test_parse_rpc_file(tmp_path):
         assert parsed[k] == d[k]
     assert parsed["row_num"] == d["row_num"]
     assert parsed["col_den"] == d["col_den"]
+
+
+def test_crop_image_patches(aoi, tmp_path):
+    """CropImagePatches port (generate_dataset.py:302-428): crop full-scene
+    images to the GT-DSM AOI, fix up the RPC offsets, write uint8-scaled
+    crops + Truth + JSONs + splits — and the result is loadable by
+    SatelliteDataset end to end."""
+    import numpy as np
+    from synth_aoi import (affine_rpc_dict, ground_texture, localize_affine,
+                           LAT0, LON0, ALT0, ZONE, W, H)
+    from brdfnerf_tpu.utils.geotiff import write_geotiff, GeoProfile, utm_epsg
+    from brdfnerf_tpu.geo import rpc as rpc_mod
+
+    # full-scene images: 3x the AOI footprint, same ground resolution
+    full = 3 * W
+    imgs = []
+    for i, tilt in enumerate([(0.0, 0.0), (0.12, 0.04), (-0.08, 0.1)]):
+        d = affine_rpc_dict(*tilt)
+        d = dict(d, col_offset=full / 2.0, row_offset=full / 2.0,
+                 col_scale=full / 2.0, row_scale=full / 2.0,
+                 lon_scale=3 * d["lon_scale"], lat_scale=3 * d["lat_scale"])
+        cols, rows = np.meshgrid(np.arange(full), np.arange(full))
+        lon, lat = localize_affine(d, cols, rows, ALT0)
+        tex = ground_texture(lon, lat)
+        rgb16 = (np.stack([tex] * 3) * 4000).astype(np.float32)  # non-uint8
+        p = str(tmp_path / f"full_{i:02d}.tif")
+        write_geotiff(p, rgb16, GeoProfile(epsg=utm_epsg(ZONE, True)))
+        imgs.append((p, d))
+
+    out_root = dg.crop_image_patches(
+        aoi["aoi_id"], aoi["gt_dir"], imgs, str(tmp_path / "out"),
+        utm_zone=ZONE, sun_angles={f"full_{i:02d}": (50.0, 150.0 + i)
+                                   for i in range(3)},
+        seed=0)
+
+    base = os.path.join(str(tmp_path / "out"),
+                        f"dataset{aoi['aoi_id']}", aoi["aoi_id"])
+    scled = os.path.join(base, "RGB-crops", aoi["aoi_id"], "scled")
+    # truth copied
+    assert os.path.exists(os.path.join(base, "Truth",
+                                       f"{aoi['aoi_id']}_DSM.tif"))
+    # scaled crops are uint8 spanning the full range, AOI-sized (~W + pad)
+    from brdfnerf_tpu.utils.geotiff import read_geotiff
+    arr, _ = read_geotiff(os.path.join(scled, "full_00.tif"))
+    assert arr.dtype == np.uint8
+    # float->uint8 truncation can land the top at 254 (the reference
+    # writes the float-scaled array through a uint8 rasterio profile with
+    # the same truncation semantics)
+    assert arr.min() == 0 and arr.max() >= 254
+    assert W <= arr.shape[-1] <= full // 2
+
+    # RPC offset fixup: reprojecting the AOI center lands at (orig - crop
+    # offset) pixel coordinates
+    with open(os.path.join(out_root, "full_00.json")) as f:
+        meta = json.load(f)
+    orig = imgs[0][1]
+    r_orig = rpc_mod.rpc_from_dict(orig)
+    r_adj = rpc_mod.rpc_from_dict(meta["rpc"])
+    c0, w0_ = rpc_mod.projection_np(r_orig, np.asarray([LON0]),
+                                    np.asarray([LAT0]), np.asarray([ALT0]))
+    c1, w1_ = rpc_mod.projection_np(r_adj, np.asarray([LON0]),
+                                    np.asarray([LAT0]), np.asarray([ALT0]))
+    dx = float(orig["col_offset"] - meta["rpc"]["col_offset"])
+    dy = float(orig["row_offset"] - meta["rpc"]["row_offset"])
+    np.testing.assert_allclose(float(c0[0]) - float(c1[0]), dx, atol=1e-6)
+    np.testing.assert_allclose(float(w0_[0]) - float(w1_[0]), dy, atol=1e-6)
+    assert dx > 0 and dy > 0          # AOI is interior
+
+    # splits written and the emitted dataset loads end to end
+    assert os.path.exists(os.path.join(out_root, "train.txt"))
+    from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+    cfg = SatelliteConfig(root_dir=out_root, img_dir=scled,
+                          aoi_id=aoi["aoi_id"], load_depth=False,
+                          scene_loc_stride=2)
+    ds = SatelliteDataset(cfg, split="train")
+    assert ds.store["rays"].shape[1] == 11
+    assert np.isfinite(ds.store["rays"]).all()
