@@ -59,7 +59,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
 from .fast_math import _C1, _C3, _C5, _C7, _C9, _TWO_PI, _INV_2PI
-from .pallas_mlp import pack_trunk_weights, _round_up, TILE_N, LANE
+from .pallas_mlp import pack_trunk_weights, _round_up, LANE
+
+# point-tile height for the VJP kernel pair.  Swept on v5e at the flagship
+# shapes (8x512 trunk, 131k points): 128 -> 47.9 ms/step, 512 -> 47.1,
+# 1024 -> 45.5, 256 -> 45.1 (best; deep-enough grid to pipeline the
+# per-tile weight reads against compute while keeping the doubled
+# primal+tangent state small in VMEM)
+TILE_N = 256
 
 
 # ------------------------------------------------------------- activations
