@@ -298,15 +298,23 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
     if fused_trunk:
         from ..ops.pallas_trunk_vjp import fused_trunk_with_grad
         sigma, feats, grad_x = fused_trunk_with_grad(params, cfg, xyz)
-    else:
-        def trunk_sigma(x):
-            f = _trunk_features(params, cfg, x)
-            s = _head(params, cfg, "sigma_from_xyz", f,
-                      final="softplus")[..., 0]
-            return jnp.sum(s), (f, s)
+        out: Dict[str, jnp.ndarray] = {"sigma": sigma}
+        out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
+        # the head block deliberately stays on XLA: a fused Pallas head
+        # kernel pair was built and measured 2 ms SLOWER than XLA's own
+        # fusion of these thin [F, F/2, out] MLPs (47.7 vs 45.6 ms/step
+        # flagship) — see BASELINE.md round-2 notes
+        return _heads_from_feats(out, params, cfg, feats, dirs, sun_d,
+                                 t_emb, apply_brdf, apply_theta, nr_lr)
 
-        (_, (feats, sigma)), grad_x = jax.value_and_grad(
-            trunk_sigma, has_aux=True)(xyz)
+    def trunk_sigma(x):
+        f = _trunk_features(params, cfg, x)
+        s = _head(params, cfg, "sigma_from_xyz", f,
+                  final="softplus")[..., 0]
+        return jnp.sum(s), (f, s)
+
+    (_, (feats, sigma)), grad_x = jax.value_and_grad(
+        trunk_sigma, has_aux=True)(xyz)
     out: Dict[str, jnp.ndarray] = {"sigma": sigma}
     out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
     return _heads_from_feats(out, params, cfg, feats, dirs, sun_d, t_emb,

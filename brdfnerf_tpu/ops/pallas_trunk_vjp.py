@@ -100,6 +100,30 @@ def _act_d12(z, w0: float, siren: bool, fast: bool):
     return w0 * p1, (w0 * w0) * p2
 
 
+def _act_all(z, w0: float, siren: bool, fast: bool, want_d2: bool):
+    """(h, act', act'') sharing ONE range reduction + power chain — the
+    kernels are partially VPU-bound, so evaluating the three polynomials
+    together (instead of re-reducing per use) is a real win."""
+    if not siren:
+        h = jnp.maximum(z, 0.0)
+        d1 = (z > 0.0).astype(z.dtype)
+        return h, d1, (jnp.zeros_like(z) if want_d2 else None)
+    x = w0 * z
+    if not fast:
+        sx = jnp.sin(x)
+        return sx, w0 * jnp.cos(x), (-(w0 * w0) * sx if want_d2 else None)
+    v = x - _TWO_PI * jnp.round(x * _INV_2PI)
+    v2 = v * v
+    h = v * (_C1 + v2 * (_C3 + v2 * (_C5 + v2 * (_C7 + v2 * _C9))))
+    p1 = _C1 + v2 * (3 * _C3 + v2 * (5 * _C5 + v2 * (7 * _C7 + v2 * 9 * _C9)))
+    d2 = None
+    if want_d2:
+        d2 = (w0 * w0) * v * (6 * _C3 + v2 * (20 * _C5
+                                              + v2 * (42 * _C7
+                                                      + v2 * 72 * _C9)))
+    return h, w0 * p1, d2
+
+
 def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
@@ -135,9 +159,11 @@ def _w0_of(i: int) -> float:
 
 
 def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
-                   fast: bool, od):
-    """Primal chain; returns (z per layer, h per layer, zsig)."""
-    zs, hs = [], []
+                   fast: bool, od, want_d2: bool = False):
+    """Primal chain; returns (h, act', act'' per layer, zsig) — the
+    derivative polynomials are evaluated inside the same pass as the
+    activation so range reduction happens once per layer."""
+    hs, d1s, d2s = [], [], []
     h = None
     mid = 0
     for i in range(layers):
@@ -149,14 +175,15 @@ def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
         else:
             z = _mm(h, packed["w_mid"][mid], od) + packed["b_mid"][mid]
             mid += 1
-        h = _act_fwd(z, _w0_of(i), siren, fast)
-        zs.append(z)
+        h, d1, d2 = _act_all(z, _w0_of(i), siren, fast, want_d2)
         hs.append(h)
+        d1s.append(d1)
+        d2s.append(d2)
     zsig = _mm(h, packed["w_sigma"], od) + packed["b_sigma"]
-    return zs, hs, zsig
+    return hs, d1s, d2s, zsig
 
 
-def _grad_chain(x, packed, zs, zsig, layers: int, skip: int, siren: bool,
+def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
                 fast: bool, od, lane_mask):
     """g = d sigma / d x via reverse sweep (first-order, x cotangent only)."""
     u = jax.nn.sigmoid(zsig) * lane_mask            # (T, LANE), col 0 real
@@ -164,8 +191,7 @@ def _grad_chain(x, packed, zs, zsig, layers: int, skip: int, siren: bool,
     gx = None
     mid = layers - 3                                 # last mid index
     for i in range(layers - 1, -1, -1):
-        d1, _ = _act_d12(zs[i], _w0_of(i), siren, fast)
-        g = d1 * u
+        g = d1s[i] * u
         if i == 0:
             c = _mm_t(g, packed["w0"], od)
             gx = c if gx is None else gx + c
@@ -189,12 +215,13 @@ def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
               "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
               "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
     x = x_ref[:]
-    zs, hs, zsig = _forward_chain(x, packed, layers, skip, siren, fast, od)
+    hs, d1s, _, zsig = _forward_chain(x, packed, layers, skip, siren, fast,
+                                      od)
     lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
                  == 0).astype(jnp.float32)
     sigma_ref[:] = _softplus(zsig) * lane_mask
     feats_ref[:] = hs[-1]
-    gx_ref[:] = _grad_chain(x, packed, zs, zsig, layers, skip, siren, fast,
+    gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren, fast,
                             od, lane_mask)
 
 
@@ -214,7 +241,9 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
     cs = cs_ref[:]                                   # (T, LANE), col 0 real
 
     # 1) primal + tangent forward, keeping per-layer state in VMEM
-    zs, hs, zsig = _forward_chain(x, packed, layers, skip, siren, fast, od)
+    # (h/act'/act'' evaluated once per layer and reused by the sweep)
+    hs, d1s, d2s, zsig = _forward_chain(x, packed, layers, skip, siren,
+                                        fast, od, want_d2=True)
     tzs, ths = [], []
     th = None
     mid = 0
@@ -227,8 +256,7 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
         else:
             tz = _mm(th, packed["w_mid"][mid], od)
             mid += 1
-        d1, _ = _act_d12(zs[i], _w0_of(i), siren, fast)
-        th = d1 * tz
+        th = d1s[i] * tz
         tzs.append(tz)
         ths.append(th)
     tzsig = _mm(th, packed["w_sigma"], od)
@@ -260,9 +288,8 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
     dbm_parts = [None] * max(layers - 2, 0)
     mid = layers - 3
     for i in range(layers - 1, -1, -1):
-        d1, d2 = _act_d12(zs[i], _w0_of(i), siren, fast)
-        a_zl = d1 * a_h + d2 * tzs[i] * b_th
-        b_tzl = d1 * b_th
+        a_zl = d1s[i] * a_h + d2s[i] * tzs[i] * b_th
+        b_tzl = d1s[i] * b_th
         if i == 0:
             acc(dw0_ref, _outer(x, a_zl, od) + _outer(t, b_tzl, od))
             acc(db0_ref, jnp.sum(a_zl, axis=0))
