@@ -67,7 +67,8 @@ def main(argv=None):
                       depth_store=getattr(train_ds, "depth_store", None),
                       freeze=freeze, visu_scale=args.visu_scale,
                       save_first_n_visu=args.save_first_n_visu,
-                      save_visu_every_n_epochs=args.save_visu_every_n_epochs)
+                      save_visu_every_n_epochs=args.save_visu_every_n_epochs,
+                      test_sun_v=bool(args.test_sun_v))
     trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
                 save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)

@@ -134,6 +134,10 @@ class RenderConfig:
     # stop_gradient (guided sampling, sun visibility), so no VJP is
     # needed.  Requires a single-skip trunk (the reference architecture).
     use_pallas: bool = False
+    # --TestSun_v (opt.py:247, main.py:391): force the analytic
+    # sun-visibility march even when apply_brdf is off, so validation/eval
+    # can render the sun map before the BRDF phase starts
+    force_sun_march: bool = False
     # TPU-native: run the DIFFERENTIATED trunk of the main inference
     # (sigma + feats + analytic density-gradient normals) as a fused
     # Pallas kernel pair with a hand-derived custom VJP — forward and the

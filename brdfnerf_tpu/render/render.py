@@ -171,7 +171,8 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
     # per-sample sun visibility.
     sun_vis = None
     sun_weights = None
-    if mcfg.sun_v == "analystic" and rcfg.apply_brdf:
+    if mcfg.sun_v == "analystic" and (rcfg.apply_brdf
+                                      or rcfg.force_sun_march):
         depth1 = res1["depth"]
         pt_surf = rays_o + rays_d * depth1[:, None]
         far_sun = depth1[:, None]

@@ -89,7 +89,8 @@ class Trainer:
                  depth_store: Optional[Dict[str, np.ndarray]] = None,
                  visu_scale: float = 1.0,
                  save_first_n_visu: int = 0,
-                 save_visu_every_n_epochs: int = 1):
+                 save_visu_every_n_epochs: int = 1,
+                 test_sun_v: bool = False):
         self.cfg = cfg
         self.paths = paths
         self.val_dataset = val_dataset
@@ -189,6 +190,7 @@ class Trainer:
         self.visu_scale = visu_scale
         self.save_first_n_visu = save_first_n_visu
         self.save_visu_every_n_epochs = max(1, save_visu_every_n_epochs)
+        self.test_sun_v = test_sun_v     # --TestSun_v (main.py:391)
 
     def _place_batch(self, batch: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -323,7 +325,9 @@ class Trainer:
                 apply_brdf=(self.cfg.train.brdf_on < 1.0
                             and self.cfg.render.apply_brdf),
                 apply_theta=(self.cfg.train.brdf_on < 0.5
-                             and self.cfg.render.apply_theta))
+                             and self.cfg.render.apply_theta),
+                force_sun_march=(self.cfg.render.force_sun_march
+                                 or self.test_sun_v))
         render_fn = self._get_render_fn(rcfg)
         rays = sample["rays"]
         n = rays.shape[0]

@@ -202,6 +202,30 @@ def test_spsbrdf_solar_correction(store, tmp_path):
         assert np.isfinite(np.asarray(res["sun_sc_coarse"])).all()
 
 
+def test_force_sun_march(store):
+    """--TestSun_v semantics: force_sun_march renders the analytic
+    sun-visibility map even with apply_brdf off (main.py:391,
+    rendering.py:244 bTestSun_v)."""
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    from brdfnerf_tpu.models.network import init_network
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="analystic",
+                       func_m=True, func_f=True, func_h=1,
+                       layers=4, feat=64, skips=(2,))
+    params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg)}
+    rays = jnp.asarray(store["rays"][:8])
+    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
+    off = render_rays(params, mcfg,
+                      RenderConfig(n_samples=8, guided_samples=8),
+                      inp, jax.random.PRNGKey(0))
+    on = render_rays(params, mcfg,
+                     RenderConfig(n_samples=8, guided_samples=8,
+                                  force_sun_march=True),
+                     inp, jax.random.PRNGKey(0))
+    assert "sun_coarse" not in off
+    assert "sun_coarse" in on and on["sun_coarse"].shape == (8, 16, 1)
+
+
 def test_multibrdf_requires_normal(store):
     """apply_brdf with normal='none' raises a clear config error instead of
     an AttributeError deep in the BRDF math."""
