@@ -70,6 +70,39 @@ def test_sharded_train_step_runs_and_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_sharded_train_step_matches_single_device():
+    """Data parallelism is exact: one optimizer step over the 8-device
+    mesh produces the same parameters as the same step on one device
+    (the loss is a mean over the global batch, so XLA's SPMD all-reduce
+    reconstructs the identical gradient up to reduction order)."""
+    import dataclasses as dc
+    mcfg, rcfg, tcfg = _cfg()
+    rcfg = dc.replace(rcfg, perturb=0.0)
+    batch_np = _batch(128)
+    gates = TrainGates(jnp.asarray(False), jnp.asarray(True),
+                       jnp.asarray(True), jnp.asarray(False),
+                       jnp.asarray(True))
+    key = jax.random.PRNGKey(1)
+
+    state1, opt1 = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    step1 = make_train_step(mcfg, rcfg, tcfg, opt1, donate=False)
+    s1, m1 = step1(state1, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                   key, gates)
+
+    mesh = make_mesh(8)
+    state2, opt2 = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    step8 = make_train_step(mcfg, rcfg, tcfg, opt2, mesh=mesh, donate=False)
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    s2, m2 = step8(replicate(mesh, state2), shard_batch(mesh, batch_np),
+                   jax.device_put(key, repl), replicate(mesh, gates))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=5e-5)
+
+
 def test_sharded_render_matches_single_device():
     mcfg, rcfg, _ = _cfg()
     import dataclasses as dc
