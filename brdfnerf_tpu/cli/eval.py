@@ -68,6 +68,8 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
     tr = Trainer(cfg, dummy_store, paths, val_dataset=val_ds, seed=0)
     tr.eval_chunk = int(getattr(args, "chunk", 5120) or 5120)
+    # --TestSun_v from the reloaded opts.json forces the sun-vis march
+    tr.test_sun_v = bool(getattr(args, "test_sun_v", 0))
     params = ckpt.restore_params(tr.state.params, ckpt_path)
     tr.state = tr.state._replace(params=params)
 
@@ -147,7 +149,11 @@ def _dummy_store(val_ds):
 
 def main(argv=None):
     args = opts_mod.eval_parser().parse_args(argv)
-    evaluate(args.logs_dir, args.epoch_number, split=args.split,
+    # reference contract: the run directory is logs_dir/run_id
+    # (eval.py:225-228); with no run_id, logs_dir IS the run directory
+    run_dir = (os.path.join(args.logs_dir, args.run_id)
+               if args.run_id else args.logs_dir)
+    evaluate(run_dir, args.epoch_number, split=args.split,
              checkpoints_dir=args.checkpoints_dir,
              output_dir=args.output_dir)
     return 0
