@@ -52,7 +52,19 @@ def test_train_then_eval_cli(aoi, tmp_path):
     files = os.listdir(out_dir)
     assert any(f.endswith("_rgb.tif") for f in files)
     assert any(f.endswith("_depth.tif") for f in files)
+    assert any(f.endswith("_panels.png") for f in files)
     assert os.path.isdir(os.path.join(out_dir, "rdsm"))
+
+    # --split train renders every TRAINING image (eval.py:238-249)
+    tdir = str(tmp_path / "train_eval")
+    assert eval_main(["--logs_dir", run_dir, "--output_dir", tdir,
+                      "--epoch_number", str(last_epoch),
+                      "--split", "train"]) == 0
+    rgbs = [f for f in os.listdir(tdir) if f.endswith("_rgb.tif")]
+    with open(os.path.join(run_dir, "opts.json")) as f:
+        root = json.load(f)["root_dir"]
+    n_train = len(open(os.path.join(root, "train.txt")).read().split())
+    assert len(rgbs) == n_train
 
 
 def test_sc_lambda_zeroed_without_learned_sun():
