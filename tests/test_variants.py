@@ -191,10 +191,10 @@ def test_spsbrdf_solar_correction(store, tmp_path):
     rays = jnp.asarray(store["rays"][:16])
     for gs in (8, 0):
         rc = dc.replace(rcfg, guided_samples=gs)
-        res = render_rays(tr.state.params, mcfg, rc,
-                          RenderInputs(rays=rays,
-                                       cos_irra_on=jnp.asarray(False)),
-                          jax.random.PRNGKey(0), train=False)
+        res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rc, i, k))(
+            tr.state.params,
+            RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False)),
+            jax.random.PRNGKey(0))
         n_s = res["z_vals_coarse"].shape[1]
         assert res["sun_sc_coarse"].shape == (16, n_s, 1)
         assert res["transparency_sc_coarse"].shape == (16, n_s)
@@ -215,13 +215,13 @@ def test_force_sun_march(store):
     params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg)}
     rays = jnp.asarray(store["rays"][:8])
     inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
-    off = render_rays(params, mcfg,
-                      RenderConfig(n_samples=8, guided_samples=8),
-                      inp, jax.random.PRNGKey(0))
-    on = render_rays(params, mcfg,
-                     RenderConfig(n_samples=8, guided_samples=8,
-                                  force_sun_march=True),
-                     inp, jax.random.PRNGKey(0))
+    def run(rc):
+        return jax.jit(lambda p, i, k: render_rays(p, mcfg, rc, i, k))(
+            params, inp, jax.random.PRNGKey(0))
+
+    off = run(RenderConfig(n_samples=8, guided_samples=8))
+    on = run(RenderConfig(n_samples=8, guided_samples=8,
+                          force_sun_march=True))
     assert "sun_coarse" not in off
     assert "sun_coarse" in on and on["sun_coarse"].shape == (8, 16, 1)
 
