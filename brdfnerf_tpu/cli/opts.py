@@ -70,7 +70,10 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--stdscale", type=float, default=1.0)
     p.add_argument("--corrscale", type=float, default=1.0)
     p.add_argument("--siren", type=int, default=1)
-    p.add_argument("--mod_alt_bound", type=int, default=1)   # opt.py:323
+    # reference: type=int default=1 (opt.py:323); nargs='?' keeps the
+    # bare --mod_alt_bound spelling working too
+    p.add_argument("--mod_alt_bound", type=int, nargs="?", const=1,
+                   default=1)
     p.add_argument("--sun_v", type=str, default="none",
                    choices=["none", "analystic", "learned"])
     p.add_argument("--indirect_light", action="store_true")
@@ -187,7 +190,9 @@ def postprocess(args: argparse.Namespace) -> argparse.Namespace:
     if getattr(args, "fc_feat_ref", 0) == 0:
         args.fc_feat_ref = args.fc_feat           # opt.py:334-335
     if getattr(args, "eval_mode", 0) and not args.in_ckpts:
-        raise SystemExit("--eval 1 requires --in_ckpts (main.py:91-92)")
+        raise SystemExit(
+            "--eval 1 requires --in_ckpts (main.py:91-92). If you meant "
+            "the validation cadence, spell out --eval_every_n_epochs.")
     return args
 
 

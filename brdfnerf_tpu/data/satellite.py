@@ -503,10 +503,14 @@ class SatelliteDataset:
         cache_p = None
         if cfg.cache_dir:
             os.makedirs(cfg.cache_dir, exist_ok=True)
+            # mod_alt_bound changes the near/far altitudes the rays are
+            # built from, so it must be part of the cache key — otherwise
+            # a cache built under one setting is silently reused under
+            # the other with inconsistent geometry
             cache_p = os.path.join(
                 cfg.cache_dir,
                 f"{file_id(meta['img'])}_ds{cfg.img_downscale:g}"
-                f"_{cfg.cs}.npz")
+                f"_{cfg.cs}{'_mab' if cfg.mod_alt_bound else ''}.npz")
         if cache_p and os.path.exists(cache_p):
             with np.load(cache_p) as z:
                 rays = z["rays"]

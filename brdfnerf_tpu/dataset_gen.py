@@ -333,10 +333,12 @@ def crop_image_patches(aoi_id: str, dsm_dir: str, images: Sequence[Tuple],
         crop, x, y = crop_image_to_aoi(arr, rpc_dict, corners, alt_me)
         rpc_adj = adjust_rpc_offsets(rpc_dict, x, y)
         name = os.path.basename(img_path)
+        # shift the georeference by the crop offset (crop_dsm convention)
         new_prof = GeoProfile(width=crop.shape[-1], height=crop.shape[-2],
-                              ulx=prof.ulx, uly=prof.uly, xres=prof.xres,
-                              yres=prof.yres, epsg=prof.epsg,
-                              nodata=prof.nodata)
+                              ulx=prof.ulx + x * prof.xres,
+                              uly=prof.uly - y * prof.yres,
+                              xres=prof.xres, yres=prof.yres,
+                              epsg=prof.epsg, nodata=prof.nodata)
         write_geotiff(os.path.join(crops_dir, name),
                       crop.astype(arr.dtype), new_prof)
         scld = crop

@@ -71,35 +71,6 @@ TILE_N = 256
 
 # ------------------------------------------------------------- activations
 
-def _act_fwd(z, w0: float, siren: bool, fast: bool):
-    """h = act(w0 * z) (matching models.network._act)."""
-    if not siren:
-        return jnp.maximum(z, 0.0)
-    x = w0 * z
-    if not fast:
-        return jnp.sin(x)
-    v = x - _TWO_PI * jnp.round(x * _INV_2PI)
-    v2 = v * v
-    return v * (_C1 + v2 * (_C3 + v2 * (_C5 + v2 * (_C7 + v2 * _C9))))
-
-
-def _act_d12(z, w0: float, siren: bool, fast: bool):
-    """(act', act'') of act(w0*z) w.r.t. z — the derivatives XLA autodiff
-    produces for the same forward (round() has zero gradient, so the
-    fast_sin range reduction has unit slope)."""
-    if not siren:
-        d1 = (z > 0.0).astype(z.dtype)
-        return d1, jnp.zeros_like(z)
-    x = w0 * z
-    if not fast:
-        return w0 * jnp.cos(x), -(w0 * w0) * jnp.sin(x)
-    v = x - _TWO_PI * jnp.round(x * _INV_2PI)
-    v2 = v * v
-    p1 = _C1 + v2 * (3 * _C3 + v2 * (5 * _C5 + v2 * (7 * _C7 + v2 * 9 * _C9)))
-    p2 = v * (6 * _C3 + v2 * (20 * _C5 + v2 * (42 * _C7 + v2 * 72 * _C9)))
-    return w0 * p1, (w0 * w0) * p2
-
-
 def _act_all(z, w0: float, siren: bool, fast: bool, want_d2: bool):
     """(h, act', act'') sharing ONE range reduction + power chain — the
     kernels are partially VPU-bound, so evaluating the three polynomials

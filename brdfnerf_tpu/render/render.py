@@ -83,8 +83,9 @@ def _render_one(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     elif variant == "s-nerf":
         result = inference_shadow(net, mcfg, rcfg, rays_o, rays_d, z_vals,
                                   sun_d, key=keys[1])
-        result.update(_solar_correction(net, mcfg, rcfg, rays_o, sun_d,
-                                        z_vals, t_emb, keys[2]))
+        if train:
+            result.update(_solar_correction(net, mcfg, rcfg, rays_o, sun_d,
+                                            z_vals, t_emb, keys[2]))
 
     elif variant in ("sat-nerf", "sps-nerf"):
         result = inference_shadow(net, mcfg, rcfg, rays_o, rays_d, z_vals,
@@ -97,8 +98,9 @@ def _render_one(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
                                       sun_d, t_emb=t_emb, key=keys[4])
             result["z_vals_unsort"] = z_unsort
             z_vals = z_all
-        result.update(_solar_correction(net, mcfg, rcfg, rays_o, sun_d,
-                                        z_vals, t_emb, keys[2]))
+        if train:
+            result.update(_solar_correction(net, mcfg, rcfg, rays_o, sun_d,
+                                            z_vals, t_emb, keys[2]))
 
     elif variant == "spsbrdf-nerf":
         result = _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d,
@@ -112,8 +114,10 @@ def _render_one(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
 def _solar_correction(net, mcfg, rcfg, rays_o, sun_d, z_vals, t_emb, key):
     """Solar-correction pass: re-render along sun directions and expose its
     transparency/weights/sun for SNerfLoss terms 2-3 (rendering.py:194-204,
-    218-224; metrics.py:30-37).  Only materialized when the config trains
-    with sc_lambda > 0 — callers drop the extra keys otherwise."""
+    218-224; metrics.py:30-37).  Only run during TRAINING (the sole
+    consumer is the sc loss); jitted render/eval programs return every
+    result key as a live output, so an always-on pass would cost a full
+    extra trunk forward per eval chunk for nothing."""
     if mcfg.sun_v != "learned":
         return {}
     res = inference_shadow(net, mcfg, rcfg, rays_o, sun_d, z_vals, sun_d,
@@ -152,7 +156,7 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
                                    cos_irra_on=inp.cos_irra_on,
                                    rows=inp.rows, cols=inp.cols, key=keys[1])
         return _spsbrdf_sc(result, net, mcfg, rcfg, rays_o, sun_d, z_vals,
-                           keys[7])
+                           keys[7], train)
 
     # phase 1: sigma only (rendering.py:232)
     res1 = sigma_pass(net, mcfg, rcfg, rays_o, rays_d, z_vals, key=keys[1])
@@ -195,17 +199,18 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
                                rows=inp.rows, cols=inp.cols, key=keys[4])
     result["z_vals_unsort"] = z_unsort
     return _spsbrdf_sc(result, net, mcfg, rcfg, rays_o, sun_d, z_final,
-                       keys[7])
+                       keys[7], train)
 
 
-def _spsbrdf_sc(result: Dict, net, mcfg, rcfg, rays_o, sun_d, z_vals, key):
+def _spsbrdf_sc(result: Dict, net, mcfg, rcfg, rays_o, sun_d, z_vals, key,
+                train: bool):
     """Attach spsbrdf solar-correction keys when sun_v is learned.  The
     reference intended this pass (rendering.py:278-284) but its
     `inference_sun` is undefined — here it is a real sigma + learned-sun_v
-    march along sun rays.  Always materialized for sun_v='learned' (like
-    the s-nerf branch); XLA dead-code-eliminates it in programs whose loss
-    doesn't consume the sc keys."""
-    if mcfg.sun_v != "learned":
+    march along sun rays.  Training only: the sole consumer is the sc
+    loss, and a jitted eval program would otherwise materialize the pass
+    as a live output (one extra trunk forward per chunk)."""
+    if mcfg.sun_v != "learned" or not train:
         return result
     sc = solar_correction_pass(net, mcfg, rcfg, rays_o, sun_d, z_vals,
                                key=key)

@@ -115,11 +115,16 @@ class Trainer:
         self.depth_batcher = None
         if (depth_store is not None and tcfg.ds_lambda > 0
                 and cfg.model.variant == "sat-nerf"):
+            kp_bs = min(tcfg.batch_size, depth_store["rays"].shape[0])
+            if mesh is not None:
+                # shard_batch splits axis 0 over the mesh — keep the
+                # keypoint sub-batch divisible by the device count
+                n_dev = int(mesh.size)
+                kp_bs = max(n_dev, kp_bs - kp_bs % n_dev)
             self.depth_batcher = batcher_cls(
                 {"rays": depth_store["rays"], "depths": depth_store["depths"],
                  "ts": depth_store["ts"]},
-                min(tcfg.batch_size, depth_store["rays"].shape[0]),
-                seed=seed + 7)
+                kp_bs, seed=seed + 7)
         self.steps_per_epoch = self.batcher.steps_per_epoch
         self.max_steps = tcfg.max_train_steps
 
@@ -147,7 +152,19 @@ class Trainer:
                 # Hapke)
                 include = ckpt.handoff_include("coarse", cfg.model.hapke_b)
             params = ckpt.restore_params(self.state.params, in_ckpts,
-                                         include=include, strict=False)
+                                         include=include)
+            if include is None:
+                # freeze-all eval: every template parameter must come from
+                # the checkpoint — frozen random-init heads would silently
+                # produce garbage metrics
+                missing = [k for k in ckpt._flatten(self.state.params)
+                           if k not in ckpt.load_flat(in_ckpts)]
+                if missing:
+                    raise ValueError(
+                        f"--eval in_ckpts {in_ckpts} is missing "
+                        f"{len(missing)} parameters of this model config "
+                        f"(e.g. {missing[:3]}); a freeze-all evaluation "
+                        f"needs a checkpoint from the same config")
             self.state = TrainState(params, self.opt.init(params),
                                     self.state.step)
             print(f"[handoff] restored {include or 'ALL'} from {in_ckpts}")

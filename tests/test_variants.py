@@ -185,13 +185,16 @@ def test_spsbrdf_solar_correction(store, tmp_path):
     tr, _ = _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
 
     # the sc keys are materialized with the right shapes in both the
-    # guided and non-guided spsbrdf paths
+    # guided and non-guided spsbrdf paths (train=True — the pass is
+    # training-only; eval programs would otherwise pay an extra trunk
+    # forward for keys nothing reads)
     from brdfnerf_tpu.render.render import render_rays, RenderInputs
     import dataclasses as dc
     rays = jnp.asarray(store["rays"][:16])
     for gs in (8, 0):
         rc = dc.replace(rcfg, guided_samples=gs)
-        res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rc, i, k))(
+        res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rc, i, k,
+                                                  train=True))(
             tr.state.params,
             RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False)),
             jax.random.PRNGKey(0))
@@ -250,3 +253,22 @@ def test_gsam_only_mode(store, tmp_path):
     tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=30,
                        ds_lambda=10.0)
     _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
+
+
+def test_sc_pass_not_in_eval_program(store):
+    """The solar-correction pass is training-only: eval renders omit the
+    sc keys (they would otherwise cost a live extra trunk forward)."""
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    from brdfnerf_tpu.models.network import init_network
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="learned",
+                       func_m=True, func_f=True, func_h=1,
+                       layers=4, feat=64, skips=(2,))
+    params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg)}
+    rays = jnp.asarray(store["rays"][:8])
+    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True)
+    res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rcfg, i, k,
+                                              train=False))(
+        params, inp, jax.random.PRNGKey(0))
+    assert "sun_sc_coarse" not in res
