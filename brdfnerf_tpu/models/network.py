@@ -265,27 +265,17 @@ def apply_network(params, cfg: ModelConfig, xyz,
                   t_emb: Optional[jnp.ndarray] = None,
                   apply_brdf: bool = False,
                   apply_theta: bool = False,
-                  nr_lr: bool = False,
-                  fused_trunk: bool = False) -> Dict[str, jnp.ndarray]:
+                  nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
     """Full forward over flat points xyz (..., 3). Returns named heads.
 
     Head semantics match SpSBRDFNeRF.forward (spsbrdfnerf.py:662-757):
     rgb/albedo sigmoid; sun_v sigmoid; sky sigmoid; beta softplus;
     RPV k in [0,2], theta_rpv in [-1,1], rhoc in [0,1] (tiled 1->3 when
     dim_rpv==1); hapke b,c in [0,1]; hapke theta in [0, 30deg].
-
-    fused_trunk: run the trunk through the first-order fused Pallas
-    kernel pair (ops/pallas_trunk_vjp.trunk_core1) — the stage-1
-    Lambertian configs' hot path."""
+    """
     out: Dict[str, jnp.ndarray] = {}
-    if fused_trunk and len(cfg.skips) == 1:
-        from ..ops.pallas_trunk_vjp import fused_trunk_sigma_feats
-        sigma, feats = fused_trunk_sigma_feats(params, cfg, xyz)
-        out["sigma"] = sigma
-    else:
-        feats = _trunk_features(params, cfg, xyz)
-        out["sigma"] = _head(params, cfg, "sigma_from_xyz", feats,
-                             final="softplus")[..., 0]
+    feats = _trunk_features(params, cfg, xyz)
+    out["sigma"] = _head(params, cfg, "sigma_from_xyz", feats, final="softplus")[..., 0]
     return _heads_from_feats(out, params, cfg, feats, dirs, sun_d, t_emb,
                              apply_brdf, apply_theta, nr_lr)
 

@@ -467,202 +467,3 @@ def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
             cfg, sub, jax.lax.stop_gradient(xyz))
         gx = gx_enc
     return sigma, feats, gx
-
-
-# --------------------------------------- first-order variant (no normals)
-
-def _fwd1_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
-                 wsig_r, bsig_r, sigma_ref, feats_ref, *,
-                 layers: int, skip: int, siren: bool, fast: bool, od):
-    """Forward chain + sigma head only (the stage-1 Lambertian configs
-    need no analytic normals, so no g-chain)."""
-    packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
-              "b_mid": bm_r[:], "w_skip_top": wst_r[:],
-              "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
-              "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
-    hs, _, _, zsig = _forward_chain(x_ref[:], packed, layers, skip, siren,
-                                    fast, od)
-    lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
-                 == 0).astype(jnp.float32)
-    sigma_ref[:] = _softplus(zsig) * lane_mask
-    feats_ref[:] = hs[-1]
-
-
-def _bwd1_kernel(x_ref, cs_ref, cf_ref,
-                 w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r, wsig_r, bsig_r,
-                 dw0_ref, db0_ref, dwm_ref, dbm_ref, dwst_ref, dwsb_ref,
-                 dbs_ref, dwsig_ref, dbsig_ref, *,
-                 layers: int, skip: int, siren: bool, fast: bool, od):
-    """Plain first-order backprop: recompute the forward in VMEM, one
-    reverse sweep, weight grads accumulated across the sequential grid."""
-    packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
-              "b_mid": bm_r[:], "w_skip_top": wst_r[:],
-              "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
-              "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
-    x = x_ref[:]
-    hs, d1s, _, zsig = _forward_chain(x, packed, layers, skip, siren, fast,
-                                      od)
-    lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
-                 == 0).astype(jnp.float32)
-    a_z = cs_ref[:] * jax.nn.sigmoid(zsig) * lane_mask    # cot on zsig
-
-    first = pl.program_id(0) == 0
-
-    def acc(ref, val):
-        @pl.when(first)
-        def _():
-            ref[:] = jnp.zeros_like(ref)
-        ref[:] += val
-
-    acc(dwsig_ref, _outer(hs[-1], a_z, od))
-    acc(dbsig_ref, jnp.sum(a_z, axis=0))
-    a_h = _mm_t(a_z, packed["w_sigma"], od) + cf_ref[:]
-
-    dwm_parts = [None] * max(layers - 2, 0)
-    dbm_parts = [None] * max(layers - 2, 0)
-    mid = layers - 3
-    for i in range(layers - 1, -1, -1):
-        a_zl = d1s[i] * a_h
-        if i == 0:
-            acc(dw0_ref, _outer(x, a_zl, od))
-            acc(db0_ref, jnp.sum(a_zl, axis=0))
-        elif i == skip:
-            acc(dwst_ref, _outer(x, a_zl, od))
-            acc(dwsb_ref, _outer(hs[i - 1], a_zl, od))
-            acc(dbs_ref, jnp.sum(a_zl, axis=0))
-            a_h = _mm_t(a_zl, packed["w_skip_bot"], od)
-        else:
-            dwm_parts[mid] = _outer(hs[i - 1], a_zl, od)
-            dbm_parts[mid] = jnp.sum(a_zl, axis=0)
-            a_h = _mm_t(a_zl, packed["w_mid"][mid], od)
-            mid -= 1
-    if layers > 2:
-        acc(dwm_ref, jnp.stack(dwm_parts))
-        acc(dbm_ref, jnp.stack(dbm_parts))
-
-
-def _run_fwd1(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
-    if interpret is None:
-        interpret = _interpret_default()
-    layers, skip, siren, fast, od = _static(cfg)
-    n, ein = x_enc.shape
-    ein_p = packed["w0"].shape[0]
-    feat = cfg.feat
-    n_p = _round_up(max(n, TILE_N), TILE_N)
-    x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(
-        x_enc.astype(jnp.float32))
-    grid = (n_p // TILE_N,)
-    kern = functools.partial(_fwd1_kernel, layers=layers, skip=skip,
-                             siren=siren, fast=fast, od=od)
-    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
-    row = lambda c: pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    n_mid = max(layers - 2, 0)
-    params_tpu = (None if interpret else
-                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
-    sigma, feats = pl.pallas_call(
-        kern, grid=grid, compiler_params=params_tpu,
-        in_specs=[row(ein_p),
-                  full((ein_p, feat)), full((feat,)),
-                  full((n_mid, feat, feat)), full((n_mid, feat)),
-                  full((ein_p, feat)), full((feat, feat)), full((feat,)),
-                  full((feat, LANE)), full((LANE,))],
-        out_specs=(row(LANE), row(feat)),
-        out_shape=(jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((n_p, feat), jnp.float32)),
-        interpret=interpret,
-    )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
-      packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
-      packed["w_sigma"], packed["b_sigma"])
-    return sigma[:n, 0], feats[:n]
-
-
-def _run_bwd1(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats,
-              interpret=None):
-    if interpret is None:
-        interpret = _interpret_default()
-    layers, skip, siren, fast, od = _static(cfg)
-    n, ein = x_enc.shape
-    ein_p = packed["w0"].shape[0]
-    feat = cfg.feat
-    n_p = _round_up(max(n, TILE_N), TILE_N)
-
-    def padrow(v, cols):
-        out = jnp.zeros((n_p, cols), jnp.float32)
-        return out.at[:n, :v.shape[1]].set(v.astype(jnp.float32))
-
-    x = padrow(x_enc, ein_p)
-    cs = padrow(c_sigma[:, None], LANE)
-    cf = padrow(c_feats, feat)
-    grid = (n_p // TILE_N,)
-    kern = functools.partial(_bwd1_kernel, layers=layers, skip=skip,
-                             siren=siren, fast=fast, od=od)
-    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
-    row = lambda c: pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    n_mid = max(layers - 2, 0)
-    params_tpu = (None if interpret else
-                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
-    outs = pl.pallas_call(
-        kern, grid=grid, compiler_params=params_tpu,
-        in_specs=[row(ein_p), row(LANE), row(feat),
-                  full((ein_p, feat)), full((feat,)),
-                  full((n_mid, feat, feat)), full((n_mid, feat)),
-                  full((ein_p, feat)), full((feat, feat)), full((feat,)),
-                  full((feat, LANE)), full((LANE,))],
-        out_specs=(full((ein_p, feat)), full((feat,)),
-                   full((n_mid, feat, feat)), full((n_mid, feat)),
-                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
-                   full((feat, LANE)), full((LANE,))),
-        out_shape=(jax.ShapeDtypeStruct((ein_p, feat), jnp.float32),
-                   jax.ShapeDtypeStruct((feat,), jnp.float32),
-                   jax.ShapeDtypeStruct((n_mid, feat, feat), jnp.float32),
-                   jax.ShapeDtypeStruct((n_mid, feat), jnp.float32),
-                   jax.ShapeDtypeStruct((ein_p, feat), jnp.float32),
-                   jax.ShapeDtypeStruct((feat, feat), jnp.float32),
-                   jax.ShapeDtypeStruct((feat,), jnp.float32),
-                   jax.ShapeDtypeStruct((feat, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((LANE,), jnp.float32)),
-        interpret=interpret,
-    )(x, cs, cf,
-      packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
-      packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
-      packed["w_sigma"], packed["b_sigma"])
-    return outs
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def trunk_core1(cfg: ModelConfig, params_sub: Dict, x_enc):
-    """(sigma, feats) of the trunk at encoded points — the FIRST-ORDER
-    fused variant for configs without analytic normals (e.g. the blessed
-    stage-1 Lambertian pretrain).  x_enc carries no gradient."""
-    packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
-    return _run_fwd1(cfg, packed, x_enc)
-
-
-def _trunk_core1_fwd(cfg, params_sub, x_enc):
-    return trunk_core1(cfg, params_sub, x_enc), (params_sub, x_enc)
-
-
-def _trunk_core1_bwd(cfg, res, cots):
-    params_sub, x_enc = res
-    c_sigma, c_feats = cots
-    packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
-    outs = _run_bwd1(cfg, packed, x_enc, c_sigma, c_feats)
-    return _unpack_grads(cfg, x_enc.shape[-1], outs), jnp.zeros_like(x_enc)
-
-
-trunk_core1.defvjp(_trunk_core1_fwd, _trunk_core1_bwd)
-
-
-def fused_trunk_sigma_feats(params: Dict, cfg: ModelConfig, xyz):
-    """Drop-in for the trunk portion of apply_network: (sigma, feats)
-    with the fused first-order kernel pair."""
-    from .encoding import positional_encoding
-    sub = {"fc_net": params["fc_net"],
-           "sigma_from_xyz": params["sigma_from_xyz"]}
-    enc = (positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping
-           else xyz)
-    return trunk_core1(cfg, sub, jax.lax.stop_gradient(enc))

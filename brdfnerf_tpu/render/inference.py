@@ -41,8 +41,7 @@ def inference_classic(params, mcfg: ModelConfig, rcfg: RenderConfig,
     n_rays, n_samples = z_vals.shape
     xyz = _flat_points(rays_o, rays_d, z_vals).reshape(-1, 3)
     dirs = _expand(rays_d, n_samples)
-    out = apply_network(params, mcfg, xyz, dirs=dirs,
-                        fused_trunk=rcfg.fused_trunk)
+    out = apply_network(params, mcfg, xyz, dirs=dirs)
     rgbs = out["rgb"].reshape(n_rays, n_samples, 3)
     rgbs = rgbs * (1 + 2 * mcfg.rgb_padding) - mcfg.rgb_padding  # nerf.py:273-274
     sigmas = out["sigma"].reshape(n_rays, n_samples)
@@ -69,7 +68,7 @@ def inference_shadow(params, mcfg: ModelConfig, rcfg: RenderConfig,
     sun_flat = _expand(sun_d, n_samples)
     t_flat = _expand(t_emb, n_samples)
     out = apply_network(params, mcfg, xyz, dirs=None, sun_d=sun_flat,
-                        t_emb=t_flat, fused_trunk=rcfg.fused_trunk)
+                        t_emb=t_flat)
     rgbs = out["rgb"].reshape(n_rays, n_samples, 3)
     sigmas = out["sigma"].reshape(n_rays, n_samples)
     sun_v = out["sun_v"].reshape(n_rays, n_samples, 1)
@@ -170,8 +169,7 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
             params, mcfg, xyz, dirs=dirs_flat, sun_d=sun_flat,
             t_emb=t_flat, apply_brdf=apply_brdf,
             apply_theta=rcfg.apply_theta,
-            nr_lr=mcfg.normal in ("analystic_learned", "learned"),
-            fused_trunk=rcfg.fused_trunk)
+            nr_lr=mcfg.normal in ("analystic_learned", "learned"))
 
     albedo = out["rgb"].reshape(n_rays, n_samples, 3)
     sigmas = out["sigma"].reshape(n_rays, n_samples)

@@ -192,52 +192,6 @@ def test_fused_vjp_in_full_render_and_train_grad():
             err_msg=jax.tree_util.keystr(ka))
 
 
-@pytest.mark.parametrize("fast_sin", [True, False])
-def test_fused1_gradient_parity_shadow_render(fast_sin):
-    """FIRST-ORDER fused trunk (trunk_core1, no normals): value and
-    parameter gradients of a real sps-nerf shadow render match the XLA
-    path — the stage-1 Lambertian hot path."""
-    import dataclasses as dc
-    from brdfnerf_tpu.config import RenderConfig
-    from brdfnerf_tpu.render.render import render_rays, RenderInputs
-    from brdfnerf_tpu.models.network import model_config_for_variant
-
-    cfg = model_config_for_variant("sps-nerf", layers=4, feat=128,
-                                   skips=(2,), mapping=True,
-                                   fast_sin=fast_sin,
-                                   compute_dtype="float32")
-    params = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
-    n = 24
-    o = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
-                           maxval=1.0)
-    d = jnp.tile(jnp.asarray([[0.0, 0.1, -1.0]]), (n, 1))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    rays = jnp.concatenate(
-        [o, d, jnp.zeros((n, 1)), jnp.full((n, 1), 2.0),
-         jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (n, 1))], axis=1)
-    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
-    rcfg_x = RenderConfig(n_samples=8, guided_samples=8, perturb=0.0)
-    rcfg_f = dc.replace(rcfg_x, fused_trunk=True)
-    key = jax.random.PRNGKey(2)
-    tgt = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
-
-    def loss(p, rcfg):
-        out = render_rays(p, cfg, rcfg, inp, key, train=True)
-        return jnp.mean((out["rgb_coarse"] - tgt) ** 2)
-
-    v_x, g_x = jax.value_and_grad(loss)(params, rcfg_x)
-    v_f, g_f = jax.value_and_grad(loss)(params, rcfg_f)
-    np.testing.assert_allclose(float(v_f), float(v_x), atol=1e-6, rtol=1e-6)
-    for (ka, a), (kb, b) in zip(
-            jax.tree_util.tree_leaves_with_path(g_x),
-            jax.tree_util.tree_leaves_with_path(g_f)):
-        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
-        scale = max(float(jnp.max(jnp.abs(a))), 1e-4)
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=5e-5 * scale, rtol=5e-4,
-            err_msg=jax.tree_util.keystr(ka))
-
-
 def test_render_with_pallas_sigma_pass():
     """Full spsbrdf render with use_pallas matches the XLA path."""
     import dataclasses as dc
