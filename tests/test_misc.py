@@ -145,3 +145,19 @@ def test_blender_training_e2e(tmp_path):
     first = tr.fit(max_steps=2, log_every=1, progress=False)
     last = tr.fit(max_steps=150, log_every=150, progress=False)
     assert last["psnr"] > first["psnr"] + 3.0, (first["psnr"], last["psnr"])
+
+
+def test_device_batcher_matches_host_batcher():
+    """DeviceRayBatcher draws the identical index stream as RayBatcher for
+    a given seed, so swapping them never changes training results."""
+    from brdfnerf_tpu.data.batcher import RayBatcher, DeviceRayBatcher
+    rng = np.random.default_rng(3)
+    arrays = {"rays": rng.normal(size=(1000, 11)).astype(np.float32),
+              "rgbs": rng.uniform(size=(1000, 3)).astype(np.float32)}
+    host = RayBatcher(dict(arrays), 128, seed=5)
+    dev = DeviceRayBatcher(dict(arrays), 128, seed=5)
+    for _ in range(12):   # crosses an epoch boundary (1000 // 128 = 7)
+        bh = host.next_batch()
+        bd = dev.next_batch()
+        for k in arrays:
+            np.testing.assert_array_equal(np.asarray(bd[k]), bh[k])

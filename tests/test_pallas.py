@@ -147,17 +147,21 @@ def test_fused_vjp_gradient_parity(fast_sin):
     assert checked >= 2 * cfg.layers + 2    # every w and b
 
 
-def test_fused_vjp_in_full_render_and_train_grad():
+@pytest.mark.parametrize("brdf", ["rpv", "hapke"])
+def test_fused_vjp_in_full_render_and_train_grad(brdf):
     """fused_trunk=True reproduces the XLA render AND its parameter
-    gradients inside the real spsbrdf inference (RPV + analytic normals)."""
+    gradients inside the real spsbrdf inference (analytic normals +
+    either BRDF head family — the heads stay on XLA, so the kernel's
+    c_feats cotangent must compose with any head set)."""
     import dataclasses as dc
     from brdfnerf_tpu.config import RenderConfig
     from brdfnerf_tpu.render.render import render_rays, RenderInputs
 
+    kw = (dict(func_m=True, func_f=True, func_h=1) if brdf == "rpv"
+          else dict(hapke_b=True, hapke_c=True))
     cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
-                      normal="analystic", func_m=True, func_f=True,
-                      func_h=1, layers=4, feat=128, skips=(2,),
-                      compute_dtype="float32")
+                      normal="analystic", layers=4, feat=128, skips=(2,),
+                      compute_dtype="float32", **kw)
     params = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
     n = 24
     o = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
