@@ -147,6 +147,48 @@ def test_fused_vjp_gradient_parity(fast_sin):
     assert checked >= 2 * cfg.layers + 2    # every w and b
 
 
+def test_fused_vjp_gradient_parity_8layer():
+    """The REAL flagship depth: 8 layers, skip at 4 — six mid layers whose
+    forward/reverse index bookkeeping differs from the 4-layer cases the
+    other parity tests cover."""
+    from brdfnerf_tpu.ops.pallas_trunk_vjp import fused_trunk_with_grad
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      layers=8, feat=128, skips=(4,),
+                      compute_dtype="float32")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    n = 40
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
+                             maxval=1.0)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    c_s = jax.random.normal(ks[0], (n,))
+    c_f = jax.random.normal(ks[1], (n, cfg.feat)) * 0.1
+    c_g = jax.random.normal(ks[2], (n, 3))
+
+    def loss(triple_fn, p):
+        s, f, g = triple_fn(p, cfg, xyz)
+        return (jnp.sum(c_s * s) + jnp.sum(c_f * f) + jnp.sum(c_g * g))
+
+    v_r, g_r = jax.value_and_grad(lambda p: loss(_xla_triple, p))(params)
+    v_f, g_f = jax.value_and_grad(
+        lambda p: loss(lambda p2, c, x: fused_trunk_with_grad(p2, c, x),
+                       p))(params)
+    np.testing.assert_allclose(float(v_f), float(v_r), atol=1e-3, rtol=1e-4)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+    checked = 0
+    for k, v_ref in jax.tree_util.tree_leaves_with_path(g_r):
+        ks_ = jax.tree_util.keystr(k)
+        if not (ks_.startswith("['fc_net']")
+                or ks_.startswith("['sigma_from_xyz']")):
+            continue
+        scale = max(float(jnp.max(jnp.abs(v_ref))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[ks_]), np.asarray(v_ref),
+            atol=2e-4 * scale, rtol=2e-3, err_msg=ks_)
+        checked += 1
+    assert checked == 2 * cfg.layers + 2
+
+
 @pytest.mark.parametrize("brdf", ["rpv", "hapke"])
 def test_fused_vjp_in_full_render_and_train_grad(brdf):
     """fused_trunk=True reproduces the XLA render AND its parameter
