@@ -180,14 +180,26 @@ def compute_scene_loc(json_paths: List[str], img_downscale: float = 1.0,
 
 
 def load_or_create_scene_loc(json_dir: str, **kwargs) -> SceneLoc:
+    """scene.loc is rebuilt when the settings it depends on change.
+
+    The reference caches scene.loc keyed only by path (satellite.py:141),
+    so toggling mod_alt_bound / img_downscale / cs silently reuses stale
+    scene bounds there; here a `_fingerprint` field (an addition the
+    reference's readers ignore — they pick named keys) invalidates it."""
     loc_path = os.path.join(json_dir, "scene.loc")
-    if not os.path.exists(loc_path):
-        json_paths = sorted(glob.glob(os.path.join(json_dir, "*.json")))
-        d = compute_scene_loc(json_paths, **kwargs)
-        with open(loc_path, "w") as f:
-            json.dump(d, f, indent=2)
-    with open(loc_path) as f:
-        return SceneLoc.from_dict(json.load(f))
+    fp = "|".join(f"{k}={kwargs.get(k)}" for k in
+                  ("img_downscale", "cs", "aoi_id", "mod_alt_bound"))
+    if os.path.exists(loc_path):
+        with open(loc_path) as f:
+            d = json.load(f)
+        if d.get("_fingerprint", fp) == fp:   # legacy files: keep
+            return SceneLoc.from_dict(d)
+    json_paths = sorted(glob.glob(os.path.join(json_dir, "*.json")))
+    d = compute_scene_loc(json_paths, **kwargs)
+    d["_fingerprint"] = fp
+    with open(loc_path, "w") as f:
+        json.dump(d, f, indent=2)
+    return SceneLoc.from_dict(d)
 
 
 # -------------------------------------------------------------- image pixels
@@ -510,7 +522,7 @@ class SatelliteDataset:
             cache_p = os.path.join(
                 cfg.cache_dir,
                 f"{file_id(meta['img'])}_ds{cfg.img_downscale:g}"
-                f"_{cfg.cs}{'_mab' if cfg.mod_alt_bound else ''}.npz")
+                f"_{cfg.cs}_mab{int(bool(cfg.mod_alt_bound))}.npz")
         if cache_p and os.path.exists(cache_p):
             with np.load(cache_p) as z:
                 rays = z["rays"]

@@ -115,16 +115,26 @@ class Trainer:
         self.depth_batcher = None
         if (depth_store is not None and tcfg.ds_lambda > 0
                 and cfg.model.variant == "sat-nerf"):
-            kp_bs = min(tcfg.batch_size, depth_store["rays"].shape[0])
+            n_kp = depth_store["rays"].shape[0]
+            kp_bs = min(tcfg.batch_size, n_kp)
+            kp_store = {"rays": depth_store["rays"],
+                        "depths": depth_store["depths"],
+                        "ts": depth_store["ts"]}
             if mesh is not None:
                 # shard_batch splits axis 0 over the mesh — keep the
-                # keypoint sub-batch divisible by the device count
+                # keypoint sub-batch divisible by the device count.  With
+                # fewer tie points than devices, tile the store up so a
+                # full device-multiple batch exists (tiny stores only).
                 n_dev = int(mesh.size)
-                kp_bs = max(n_dev, kp_bs - kp_bs % n_dev)
-            self.depth_batcher = batcher_cls(
-                {"rays": depth_store["rays"], "depths": depth_store["depths"],
-                 "ts": depth_store["ts"]},
-                kp_bs, seed=seed + 7)
+                if n_kp < n_dev:
+                    reps = -(-n_dev // n_kp)
+                    kp_store = {k: np.concatenate([v] * reps, 0)
+                                for k, v in kp_store.items()}
+                    kp_bs = n_dev
+                else:
+                    # n_kp >= n_dev guarantees a full device-multiple batch
+                    kp_bs = max(n_dev, kp_bs - kp_bs % n_dev)
+            self.depth_batcher = batcher_cls(kp_store, kp_bs, seed=seed + 7)
         self.steps_per_epoch = self.batcher.steps_per_epoch
         self.max_steps = tcfg.max_train_steps
 
@@ -157,8 +167,9 @@ class Trainer:
                 # freeze-all eval: every template parameter must come from
                 # the checkpoint — frozen random-init heads would silently
                 # produce garbage metrics
+                ck_keys = set(ckpt.load_flat(in_ckpts))
                 missing = [k for k in ckpt._flatten(self.state.params)
-                           if k not in ckpt.load_flat(in_ckpts)]
+                           if k not in ck_keys]
                 if missing:
                     raise ValueError(
                         f"--eval in_ckpts {in_ckpts} is missing "
