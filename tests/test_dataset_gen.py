@@ -166,3 +166,18 @@ def test_crop_image_patches(aoi, tmp_path):
     ds = SatelliteDataset(cfg, split="train")
     assert ds.store["rays"].shape[1] == 11
     assert np.isfinite(ds.store["rays"]).all()
+
+
+def test_scale_img_modes():
+    """ScaleImg parity (generate_dataset.py:273-300): global min-max by
+    default, per-channel when SclIndiv, explicit bounds honored."""
+    import numpy as np
+    img = np.stack([np.linspace(10, 20, 12).reshape(3, 4),
+                    np.linspace(0, 100, 12).reshape(3, 4)])
+    g = dg.scale_img(img)
+    assert g.min() == 0.0 and abs(g.max() - 255.0) < 1e-9
+    pc = dg.scale_img(img, per_channel=True)
+    for c in range(2):
+        assert pc[c].min() == 0.0 and abs(pc[c].max() - 255.0) < 1e-9
+    b = dg.scale_img(img, vmin=0.0, vmax=200.0)
+    assert abs(b.max() - 100 * 255.0 / 200.0) < 1e-9
