@@ -313,8 +313,12 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
     row = lambda c: pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     n_mid = max(layers - 2, 0)
+    # fwd tiles are independent -> 'parallel' grid; the bwd kernel must
+    # stay sequential (weight-grad accumulation across iterations)
     params_tpu = (None if interpret else
-                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
+                  pltpu.CompilerParams(
+                      vmem_limit_bytes=100 * 1024 * 1024,
+                      dimension_semantics=("parallel",)))
     sigma, feats, gx = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p),
