@@ -267,7 +267,13 @@ def mae_report(pred_dsm: np.ndarray, pred_prof: GeoProfile, gt_dir: str,
                           nodata=float("nan"))
         write_geotiff(os.path.join(out_dir, f"{src_id}_rdsm{suffix}.tif"),
                       rdsm[None], prof)
-        write_geotiff(os.path.join(out_dir, f"{src_id}_rdsm_diff{suffix}.tif"),
+        # the reference shuffles diffs into a sibling rdsm_diff/ directory
+        # (eval.py:498-503)
+        diff_dir = os.path.join(os.path.dirname(out_dir.rstrip("/")),
+                                "rdsm_diff")
+        os.makedirs(diff_dir, exist_ok=True)
+        write_geotiff(os.path.join(diff_dir,
+                                   f"{src_id}_rdsm_diff{suffix}.tif"),
                       diff[None], prof)
     return DSMReport(mae=mae, mae_in=mae_in, mae_out=mae_out, mae_nr=mae_nr,
                      diff=diff, diff_in=diff_in, diff_nr=diff_nr, rdsm=rdsm)
