@@ -158,9 +158,14 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
                                use_fast_sin=cfg.fast_sin)
     block = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    # point tiles are independent -> parallel grid (same annotation as the
+    # custom-VJP fwd kernel; lets Mosaic pipeline tiles without ordering)
+    params_tpu = (None if interpret else
+                  pltpu.CompilerParams(dimension_semantics=("parallel",)))
     sigma, feats = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=params_tpu,
         in_specs=[
             pl.BlockSpec((TILE_N, ein_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -70,10 +70,18 @@ def sample_pdf(key, bins, weights, n_importance: int,
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, n_bins)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # the 4 row-wise gathers as one-hot masked reductions: XLA lowers a
+    # minor-axis take_along_axis to a scalar gather loop on TPU (~0.67 ms
+    # EACH at (1024, 64) from (1024, 65) on v5e — 5.4 ms/step across the
+    # two sample_pdf calls of a guided render); the (N, U, B+1) one-hot
+    # compare + reduce stays on the VPU and costs microseconds
+    iota = jnp.arange(n_bins + 1, dtype=jnp.int32)
+    oh_below = (iota[None, None, :] == below[:, :, None]).astype(bins.dtype)
+    oh_above = (iota[None, None, :] == above[:, :, None]).astype(bins.dtype)
+    cdf_lo = jnp.einsum("nub,nb->nu", oh_below, cdf)
+    cdf_hi = jnp.einsum("nub,nb->nu", oh_above, cdf)
+    bin_lo = jnp.einsum("nub,nb->nu", oh_below, bins)
+    bin_hi = jnp.einsum("nub,nb->nu", oh_above, bins)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bins never sampled
