@@ -184,7 +184,8 @@ def _trunk_features(params, cfg: ModelConfig, xyz):
     The skip layer's concat([enc, h]) @ W is evaluated as the algebraically
     identical enc @ W[:E] + h @ W[E:]: no (N, feat+E) buffer materializes
     and both matmuls keep MXU-aligned contraction dims."""
-    enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping else xyz
+    enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
+           if cfg.mapping else xyz)
     e_dim = enc.shape[-1]
     h = enc
     for i, layer in enumerate(params["fc_net"]):
@@ -331,7 +332,8 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
                       nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
     xyz_features = _linear(params["feats_from_xyz"][0], feats, cfg.compute_dtype)
     if cfg.input_sizes[1] > 0 and dirs is not None:
-        enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1])
+        enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1],
+                                       fast=cfg.fast_sin)
                    if cfg.mapping else dirs)
         rgb_in = jnp.concatenate([xyz_features, enc_dir], axis=-1)
     else:

@@ -45,13 +45,23 @@ def _proj_and_phase(n_freqs: int, in_ch: int):
     return p, phase
 
 
-def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
+def positional_encoding(x: jnp.ndarray, n_freqs: int,
+                        fast: bool = False) -> jnp.ndarray:
     """Encode x (..., C) -> (..., 2*n_freqs*C), identity term excluded.
 
     Layout per the reference loop order: for each freq f in (1,2,4,...):
     [sin(f*x), cos(f*x)], each a C-wide block.
+
+    fast: use the degree-9 polynomial sine of ops/fast_math (1.7e-5 abs
+    error) — the encoding is sine-bound on TPU (the K=3 matmul is tiny),
+    and models with ModelConfig.fast_sin pass fast=True so the XLA path
+    uses the same polynomial as the fused kernels' in-kernel encoding.
     """
     if n_freqs == 0:
         return x
     p, phase = _proj_and_phase(n_freqs, x.shape[-1])
-    return jnp.sin(x @ jnp.asarray(p, x.dtype) + jnp.asarray(phase, x.dtype))
+    m = x @ jnp.asarray(p, x.dtype) + jnp.asarray(phase, x.dtype)
+    if fast:
+        from .fast_math import fast_sin
+        return fast_sin(m)
+    return jnp.sin(m)

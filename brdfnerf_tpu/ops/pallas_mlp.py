@@ -196,7 +196,7 @@ def fused_sigma_fn(params: Dict, cfg: ModelConfig, xyz: jnp.ndarray,
                    interpret=None) -> jnp.ndarray:
     """Drop-in for models.network.sigma_fn on no-grad paths."""
     from .encoding import positional_encoding
-    enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if cfg.mapping \
-        else xyz
+    enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
+           if cfg.mapping else xyz)
     sigma, _ = fused_trunk_sigma(params, cfg, enc, interpret=interpret)
     return sigma

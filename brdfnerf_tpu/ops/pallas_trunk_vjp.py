@@ -454,17 +454,24 @@ def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
     returns (sigma, feats, d sigma/d xyz) with the positional-encoding
     jacobian chained in XLA (enc = sin(x P + phase) =>
     d enc/d x = cos(x P + phase) * P)."""
-    from .encoding import positional_encoding, _proj_and_phase
+    from .encoding import _proj_and_phase
     sub = {"fc_net": params["fc_net"],
            "sigma_from_xyz": params["sigma_from_xyz"]}
     if cfg.mapping:
         p, phase = _proj_and_phase(cfg.mapping_sizes[0], xyz.shape[-1])
         pm = jnp.asarray(p)
         m = xyz @ pm + jnp.asarray(phase)
-        enc = jnp.sin(m)
+        # sin/cos via the trunk's polynomial when fast_sin (the encoding
+        # is sine-bound — the K=3 matmul is tiny); _act_all at w0=1 gives
+        # (sin m, cos m).  NOTE: moving this INTO the kernels was tried
+        # and measured 2.5 ms/step SLOWER despite removing these XLA ops
+        # (the extra per-tile encode matmul + transcendentals break the
+        # kernels' pipelining) — see BASELINE.md round-2 negative results.
+        enc, cos_m, _ = _act_all(m, 1.0, siren=True, fast=cfg.fast_sin,
+                                 want_d2=False)
         sigma, feats, gx_enc = trunk_core(
             cfg, sub, jax.lax.stop_gradient(enc))
-        gx = (gx_enc * jnp.cos(m)) @ pm.T
+        gx = (gx_enc * cos_m) @ pm.T
     else:
         sigma, feats, gx_enc = trunk_core(
             cfg, sub, jax.lax.stop_gradient(xyz))

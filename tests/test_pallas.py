@@ -22,7 +22,8 @@ def test_fused_matches_reference(siren, mapping):
     params = init_network(jax.random.PRNGKey(0), cfg)
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (300, 3), minval=-1.0,
                              maxval=1.0)
-    enc = positional_encoding(xyz, cfg.mapping_sizes[0]) if mapping else xyz
+    enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
+           if mapping else xyz)
 
     sig_p, feats_p = fused_trunk_sigma(params, cfg, enc, interpret=True)
     sig_r = sigma_fn(params, cfg, xyz)
