@@ -98,9 +98,13 @@ def pack_trunk_weights(params: Dict, cfg: ModelConfig,
 
 def _trunk_kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref,
                   wst_ref, wsb_ref, bs_ref, wsig_ref, bsig_ref,
-                  sigma_ref, feats_ref, *, layers: int, skip: int,
+                  sigma_ref, *feats_refs, layers: int, skip: int,
                   siren: bool, use_fast_sin: bool):
-    """One TILE_N block through the whole trunk + sigma head."""
+    """One TILE_N block through the whole trunk + sigma head.
+
+    feats_refs is () on the sigma-only paths (the guided sigma probe and
+    the sun-visibility march discard feats; writing them costs a 268 MB
+    HBM stream per 131k-point pass at flagship shapes)."""
     x = x_ref[:]                                     # (TILE_N, Ein_p) f32
 
     def act(z, first):
@@ -126,17 +130,21 @@ def _trunk_kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref,
                         preferred_element_type=jnp.float32) + bmid_ref[mid_idx]
             mid_idx += 1
         h = act(z, first=False)
-    feats_ref[:] = h
+    if feats_refs:
+        feats_refs[0][:] = h
     sig = jnp.dot(h, wsig_ref[:],
                   preferred_element_type=jnp.float32) + bsig_ref[:]
     sigma_ref[:] = jax.nn.softplus(sig)
 
 
 def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
-                      interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      interpret=None,
+                      want_feats: bool = True) -> Tuple[jnp.ndarray, ...]:
     """Evaluate trunk + sigma for encoded points.
 
-    x_enc: (N, Ein) float32 encoded xyz.  Returns (sigma (N,), feats (N, F)).
+    x_enc: (N, Ein) float32 encoded xyz.  Returns (sigma (N,), feats (N, F)),
+    or (sigma, None) with want_feats=False (skips the feats HBM write —
+    the sigma-only render passes never read them).
     N is padded up to TILE_N internally.  interpret=None auto-selects
     interpreter mode on CPU backends (tests / debugging).
     """
@@ -162,7 +170,14 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
     # custom-VJP fwd kernel; lets Mosaic pipeline tiles without ordering)
     params_tpu = (None if interpret else
                   pltpu.CompilerParams(dimension_semantics=("parallel",)))
-    sigma, feats = pl.pallas_call(
+    out_specs = [pl.BlockSpec((TILE_N, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n_p, LANE), jnp.float32)]
+    if want_feats:
+        out_specs.append(pl.BlockSpec((TILE_N, feat), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_p, feat), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=params_tpu,
@@ -175,21 +190,15 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
             block((ein_p, feat)), block((feat, feat)), block((feat,)),
             block((feat, LANE)), block((LANE,)),
         ],
-        out_specs=(
-            pl.BlockSpec((TILE_N, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, feat), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_p, feat), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
       packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
       packed["w_sigma"], packed["b_sigma"])
-    return sigma[:n, 0], feats[:n]
+    sigma = outs[0]
+    feats = outs[1][:n] if want_feats else None
+    return sigma[:n, 0], feats
 
 
 def fused_sigma_fn(params: Dict, cfg: ModelConfig, xyz: jnp.ndarray,
@@ -198,5 +207,6 @@ def fused_sigma_fn(params: Dict, cfg: ModelConfig, xyz: jnp.ndarray,
     from .encoding import positional_encoding
     enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
            if cfg.mapping else xyz)
-    sigma, _ = fused_trunk_sigma(params, cfg, enc, interpret=interpret)
+    sigma, _ = fused_trunk_sigma(params, cfg, enc, interpret=interpret,
+                                 want_feats=False)
     return sigma

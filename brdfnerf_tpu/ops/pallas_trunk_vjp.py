@@ -190,7 +190,7 @@ def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
     lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
                  == 0).astype(jnp.float32)
     sigma_ref[:] = _softplus(zsig) * lane_mask
-    feats_ref[:] = hs[-1]
+    feats_ref[:] = hs[-1].astype(feats_ref.dtype)
     gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren, fast,
                             od, lane_mask)
 
@@ -326,8 +326,15 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
                   full((feat, LANE)), full((LANE,))],
         out_specs=(row(LANE), row(feat), row(ein_p)),
+        # feats leave the kernel in the activation-storage dtype: under
+        # bfloat16_all the XLA trunk also hands bf16 feats to the heads,
+        # and f32 here would force a 268 MB convert before every head
+        # matmul at flagship shapes
         out_shape=(jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((n_p, feat), jnp.float32),
+                   jax.ShapeDtypeStruct(
+                       (n_p, feat),
+                       jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
+                       else jnp.float32),
                    jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)),
         interpret=interpret,
     )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
