@@ -250,7 +250,7 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
 
     acc(dwsig_ref, _outer(hs[-1], a_z, od) + _outer(ths[-1], b_tz, od))
     acc(dbsig_ref, jnp.sum(a_z, axis=0))
-    a_h = _mm_t(a_z, packed["w_sigma"], od) + cf_ref[:]
+    a_h = _mm_t(a_z, packed["w_sigma"], od) + cf_ref[:].astype(jnp.float32)
     b_th = _mm_t(b_tz, packed["w_sigma"], od)
 
     # 3) reverse sweep over (primal, tangent) pairs
@@ -359,7 +359,10 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
 
     x = padrow(x_enc, ein_p)
     cs = padrow(c_sigma[:, None], LANE)     # col 0; padded rows/cols zero
-    cf = padrow(c_feats, feat)
+    # c_feats stays in its arriving dtype (bf16 when feats left the fwd
+    # kernel as bf16): converting the 131k x 512 cotangent to f32 in XLA
+    # costs ~0.6 ms at flagship shapes, and the kernel upcasts on use
+    cf = jnp.zeros((n_p, feat), c_feats.dtype).at[:n].set(c_feats)
     cg = padrow(c_g, ein_p)
 
     grid = (n_p // TILE_N,)
