@@ -14,12 +14,20 @@ def aoi(tmp_path_factory):
     return build_aoi(str(tmp_path_factory.mktemp("synth_aoi_cli")))
 
 
-def test_train_then_eval_cli(aoi, tmp_path):
-    from brdfnerf_tpu.cli.train import main as train_main
-    from brdfnerf_tpu.cli.eval import main as eval_main
+def _last_epoch(ckpt_dir):
+    return max(int(f[len("epoch="):-len(".npz")])
+               for f in os.listdir(ckpt_dir)
+               if f.startswith("epoch=") and ".opt." not in f)
 
-    logs = str(tmp_path / "logs")
-    ckpts = str(tmp_path / "ckpts")
+
+@pytest.fixture(scope="module")
+def spsnerf_run(aoi, tmp_path_factory):
+    """One fitted sps-nerf CLI run shared by the eval / create_dsm /
+    freeze-all tests (each previously trained its own ~30-60-step model;
+    the repeated CPU compiles dominated test wall-clock)."""
+    from brdfnerf_tpu.cli.train import main as train_main
+    base = str(tmp_path_factory.mktemp("spsnerf_run"))
+    logs, ckpts = os.path.join(base, "logs"), os.path.join(base, "ckpts")
     argv = [
         "--model", "sps-nerf", "--exp_name", "cli_smoke",
         "--root_dir", aoi["root"], "--logs_dir", logs,
@@ -33,19 +41,22 @@ def test_train_then_eval_cli(aoi, tmp_path):
         "--sun_v", "learned", "--sc_lambda", "0.05",
     ]
     assert train_main(argv) == 0
-
     run_dir = os.path.join(logs, "cli_smoke")
+    ckpt_dir = os.path.join(ckpts, "cli_smoke")
+    return {"run_dir": run_dir, "ckpt_dir": ckpt_dir,
+            "last_epoch": _last_epoch(ckpt_dir)}
+
+
+def test_train_then_eval_cli(aoi, spsnerf_run, tmp_path):
+    from brdfnerf_tpu.cli.eval import main as eval_main
+
+    run_dir = spsnerf_run["run_dir"]
     with open(os.path.join(run_dir, "opts.json")) as f:
         opts = json.load(f)
     assert opts["model"] == "sps-nerf"
     assert opts["sc_lambda"] == pytest.approx(0.05)   # kept: sun_v==learned
 
-    ckpt_dir = os.path.join(ckpts, "cli_smoke")
-    eps = [f for f in os.listdir(ckpt_dir)
-           if f.startswith("epoch=") and ".opt." not in f]
-    assert eps, os.listdir(ckpt_dir)
-    last_epoch = max(int(f[len("epoch="):-len(".npz")]) for f in eps)
-
+    last_epoch = spsnerf_run["last_epoch"]
     assert eval_main(["--logs_dir", run_dir,
                       "--epoch_number", str(last_epoch)]) == 0
     out_dir = os.path.join(run_dir, f"eval_epoch{last_epoch}")
@@ -120,11 +131,12 @@ def test_reference_readme_cmdline_parses():
             ["--root_dir", "/tmp", "--exp_name", "x", "--eval", "1"]))
 
 
-def test_eval_freeze_all_mode(aoi, tmp_path):
+def test_eval_freeze_all_mode(aoi, spsnerf_run, tmp_path):
     """--eval 1 + --in_ckpts: every parameter frozen — a training step
-    changes nothing (reference load mode (c), main.py:91-96)."""
+    changes nothing (reference load mode (c), main.py:91-96).  The
+    pretrained checkpoint is the shared spsnerf_run fixture's (the sps-nerf
+    head set is identical; --sun_v only gates the loss terms)."""
     from brdfnerf_tpu.cli.train import main as train_main
-    import jax
     logs, ckpts = str(tmp_path / "l"), str(tmp_path / "c")
     base = [
         "--model", "sps-nerf", "--root_dir", aoi["root"],
@@ -133,12 +145,8 @@ def test_eval_freeze_all_mode(aoi, tmp_path):
         "--n_samples", "8", "--guided_samples", "8",
         "--batch_size", "256", "--ds_lambda", "10", "--lr", "1e-3",
         "--eval_every_n_epochs", "1000"]
-    assert train_main(base + ["--exp_name", "pre",
-                              "--max_train_steps", "30"]) == 0
-    ck = os.path.join(ckpts, "pre")
-    last = sorted(f for f in os.listdir(ck)
-                  if f.startswith("epoch=") and ".opt." not in f)[-1]
-    in_ckpts = os.path.join(ck, last)
+    in_ckpts = os.path.join(spsnerf_run["ckpt_dir"],
+                            f"epoch={spsnerf_run['last_epoch']}.npz")
 
     from brdfnerf_tpu.utils import checkpoint as ckpt_mod
     before = ckpt_mod.load_flat(in_ckpts)
@@ -171,46 +179,28 @@ def test_depth_qa_cli(aoi, capsys):
     assert all(v < 0.05 for v in res.values()), res
 
 
-def test_create_dsm_cli(aoi, tmp_path):
-    """Train briefly via the CLI, then extract the most-nadir DSM."""
-    import os
-    from brdfnerf_tpu.cli.train import main as train_main
+def test_create_dsm_cli(spsnerf_run):
+    """Extract the most-nadir DSM from the shared fitted run."""
     from brdfnerf_tpu.cli.create_dsm import main as dsm_main
 
-    logs = str(tmp_path / "logs")
-    ckpts = str(tmp_path / "ckpts")
-    assert train_main([
-        "--model", "sps-nerf", "--exp_name", "dsm_smoke",
-        "--root_dir", aoi["root"], "--logs_dir", logs,
-        "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
-        "--aoi_id", aoi["aoi_id"],
-        "--fc_feat", "64", "--fc_layers", "4",
-        "--n_samples", "8", "--guided_samples", "8",
-        "--batch_size", "256", "--max_train_steps", "30",
-        "--ds_lambda", "10", "--lr", "1e-3",
-        "--eval_every_n_epochs", "1000"]) == 0
-    ckpt_dir = os.path.join(ckpts, "dsm_smoke")
-    last = max(int(f[len("epoch="):-len(".npz")])
-               for f in os.listdir(ckpt_dir)
-               if f.startswith("epoch=") and ".opt." not in f)
-    assert dsm_main(["--logs_dir", os.path.join(logs, "dsm_smoke"),
+    last = spsnerf_run["last_epoch"]
+    assert dsm_main(["--logs_dir", spsnerf_run["run_dir"],
                      "--epoch_number", str(last)]) == 0
-    out_dir = os.path.join(logs, "dsm_smoke", f"dsm_epoch{last}")
+    out_dir = os.path.join(spsnerf_run["run_dir"], f"dsm_epoch{last}")
     assert any(f.endswith("_dsm.tif") for f in os.listdir(out_dir))
 
 
-def test_two_stage_workflow_cli(aoi, tmp_path):
+@pytest.fixture(scope="module")
+def two_stage_run(aoi, tmp_path_factory):
     """The canonical reference workflow (README.md:97-133): stage-1
     Lambertian pretrain with depth supervision, stage-2 BRDF finetune
-    restoring the stage-1 trunk via --in_ckpts, then eval."""
-    import os
-    import numpy as np
+    restoring the stage-1 trunk via --in_ckpts.  Shared by the workflow
+    test and the BRF-probe test (which previously trained its own
+    spsbrdf model)."""
     from brdfnerf_tpu.cli.train import main as train_main
-    from brdfnerf_tpu.cli.eval import main as eval_main
-    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
 
-    logs = str(tmp_path / "logs")
-    ckpts = str(tmp_path / "ckpts")
+    base = str(tmp_path_factory.mktemp("two_stage"))
+    logs, ckpts = os.path.join(base, "logs"), os.path.join(base, "ckpts")
     common = ["--root_dir", aoi["root"], "--logs_dir", logs,
               "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
               "--aoi_id", aoi["aoi_id"], "--mapping",
@@ -222,12 +212,8 @@ def test_two_stage_workflow_cli(aoi, tmp_path):
     assert train_main(["--model", "spsbrdf-nerf", "--exp_name", "s1",
                        "--ds_lambda", "10", "--max_train_steps", "40"]
                       + common) == 0
-    s1_dir = os.path.join(ckpts, "s1")
-    s1_last = max(int(f[len("epoch="):-len(".npz")])
-                  for f in os.listdir(s1_dir)
-                  if f.startswith("epoch=") and f.endswith(".npz")
-                  and ".opt." not in f)
-    s1_ckpt = os.path.join(s1_dir, f"epoch={s1_last}.npz")
+    s1_last = _last_epoch(os.path.join(ckpts, "s1"))
+    s1_ckpt = os.path.join(ckpts, "s1", f"epoch={s1_last}.npz")
 
     # stage 2: BRDF finetune with handoff
     assert train_main(["--model", "spsbrdf-nerf", "--exp_name", "s2",
@@ -236,40 +222,30 @@ def test_two_stage_workflow_cli(aoi, tmp_path):
                        "--brdf_on", "0", "--cos_irra_on", "0",
                        "--ds_lambda", "10", "--max_train_steps", "30"]
                       + common) == 0
-    s2_dir = os.path.join(ckpts, "s2")
-    s2_last = max(int(f[len("epoch="):-len(".npz")])
-                  for f in os.listdir(s2_dir)
-                  if f.startswith("epoch=") and f.endswith(".npz")
-                  and ".opt." not in f)
+    s2_last = _last_epoch(os.path.join(ckpts, "s2"))
+    return {"logs": logs, "ckpts": ckpts,
+            "s2_run_dir": os.path.join(logs, "s2"),
+            "s2_ckpt_dir": os.path.join(ckpts, "s2"), "s2_last": s2_last}
+
+
+def test_two_stage_workflow_cli(two_stage_run):
+    from brdfnerf_tpu.cli.eval import main as eval_main
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    s2_last = two_stage_run["s2_last"]
     # stage-2 checkpoint carries the BRDF heads
-    flat = ckpt_mod.load_flat(os.path.join(s2_dir, f"epoch={s2_last}.npz"))
+    flat = ckpt_mod.load_flat(os.path.join(two_stage_run["s2_ckpt_dir"],
+                                           f"epoch={s2_last}.npz"))
     assert any("k_from_xyz" in k for k in flat)
 
-    assert eval_main(["--logs_dir", os.path.join(logs, "s2"),
+    assert eval_main(["--logs_dir", two_stage_run["s2_run_dir"],
                       "--epoch_number", str(s2_last)]) == 0
 
 
-def test_brf_probe_cli(aoi, tmp_path):
-    import os
-    from brdfnerf_tpu.cli.train import main as train_main
+def test_brf_probe_cli(two_stage_run):
     from brdfnerf_tpu.cli.brf_probe import main as probe_main
-    logs = str(tmp_path / "logs")
-    ckpts = str(tmp_path / "ckpts")
-    assert train_main([
-        "--model", "spsbrdf-nerf", "--exp_name", "probe", "--mapping",
-        "--root_dir", aoi["root"], "--logs_dir", logs,
-        "--ckpts_dir", ckpts, "--aoi_id", aoi["aoi_id"],
-        "--fc_feat", "64", "--fc_layers", "4",
-        "--n_samples", "8", "--guided_samples", "8",
-        "--batch_size", "256", "--max_train_steps", "20",
-        "--ds_lambda", "10", "--normal", "analystic",
-        "--funcM", "1", "--funcF", "1", "--funcH", "1", "--brdf_on", "0",
-        "--eval_every_n_epochs", "1000"]) == 0
-    run_dir = os.path.join(logs, "probe")
-    ckpt_dir = os.path.join(ckpts, "probe")
-    last = max(int(f[len("epoch="):-len(".npz")])
-               for f in os.listdir(ckpt_dir)
-               if f.startswith("epoch=") and ".opt." not in f)
+    run_dir = two_stage_run["s2_run_dir"]
+    last = two_stage_run["s2_last"]
     assert probe_main(["--logs_dir", run_dir, "--epoch_number", str(last),
                        "--n_views", "9"]) == 0
     out = os.path.join(run_dir, f"brf_epoch{last}")

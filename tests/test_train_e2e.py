@@ -263,14 +263,10 @@ def test_normal_at_surface_accel(tmp_path):
                        func_m=True, func_f=True, func_h=1)
     rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True,
                         normal_at_surface=True)
-    # 250 steps suffice for the ballpark-fidelity assertions below (the
-    # tight mae < BUMP/3 bound lives in test_shape_recovery, 400 steps)
-    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=250,
+    # 150 steps suffice for the COMPARATIVE assertion below (the tight
+    # absolute mae < BUMP/3 bound lives in test_shape_recovery, 400 steps)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=150,
                        ds_lambda=10.0, brdf_on=0.0, nr_reg_an_lambda=0.1)
-    run = RunConfig(model=mcfg, render=rcfg, train=tcfg)
-    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
-                         ckpts_dir=str(tmp_path / "c"),
-                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
     import dataclasses as dc2
 
     def fit_one(rcfg_used, tag):
@@ -280,7 +276,7 @@ def test_normal_at_surface_accel(tmp_path):
                            gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
         tr = Trainer(run_used, train_ds.store, pth, val_dataset=val_ds,
                      seed=0)
-        last = tr.fit(max_steps=250, log_every=250,
+        last = tr.fit(max_steps=150, log_every=150,
                       eval_every_n_epochs=1000, progress=False)
         assert np.isfinite(last["loss"])
         scal = tr.validate(epoch=0)
