@@ -326,6 +326,39 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
                              apply_brdf, apply_theta, nr_lr)
 
 
+def _merged_sigmoid_heads(params, cfg: ModelConfig, x, names):
+    """Evaluate several 2-layer sigmoid-final heads that share the same
+    input as ONE concatenated first layer + ONE block-diagonal second
+    layer — the math of each slice is identical to _head's, but a single
+    pair of matmuls replaces 2*len(names) small ops (each of which costs
+    ~2x its roofline in launch/fusion overhead on TPU).  Gradients flow
+    through the concat/at.set assembly back to the per-head parameters.
+    Returns one (N, out_dim_i) array per name."""
+    l1 = [params[n][0] for n in names]
+    l2 = [params[n][1] for n in names]
+    hids = [p["w"].shape[1] for p in l1]
+    dims = [p["w"].shape[1] for p in l2]
+    w1 = jnp.concatenate([p["w"] for p in l1], axis=1)     # (F, sum(hids))
+    b1 = jnp.concatenate([p["b"] for p in l1])
+    h = _act(cfg, _linear({"w": w1, "b": b1}, x, cfg.compute_dtype),
+             first=False)
+    w2 = jnp.zeros((sum(hids), sum(dims)), l2[0]["w"].dtype)
+    ho = do = 0
+    for p, hid, dim in zip(l2, hids, dims):
+        w2 = w2.at[ho:ho + hid, do:do + dim].set(p["w"])
+        ho += hid
+        do += dim
+    b2 = jnp.concatenate([p["b"] for p in l2])
+    y = jax.nn.sigmoid(_linear({"w": w2, "b": b2}, h, cfg.compute_dtype))
+    y = y.astype(jnp.float32)
+    outs = []
+    do = 0
+    for dim in dims:
+        outs.append(y[..., do:do + dim])
+        do += dim
+    return outs
+
+
 def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
                       dirs=None, sun_d=None, t_emb=None,
                       apply_brdf: bool = False, apply_theta: bool = False,
@@ -338,7 +371,19 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
         rgb_in = jnp.concatenate([xyz_features, enc_dir], axis=-1)
     else:
         rgb_in = xyz_features
+
     out["rgb"] = _head(params, cfg, "rgb_from_xyzdir", rgb_in, final="sigmoid")
+
+    # merged-head fast path for RPV(111): the three RPV heads are
+    # identical 2-layer sigmoid-final MLPs over xyz_features, so they
+    # evaluate as ONE matmul pair (_merged_sigmoid_heads); per-slice math
+    # unchanged.  Folding the rgb head in too was measured neutral (the
+    # block-diagonal's off-diagonal zeros add backward FLOPs that cancel
+    # the op-count saving), so rgb stays separate.
+    rpv_names = ("k_from_xyz", "theta_rpv_from_xyz", "rhoc_from_xyz")
+    merged_rpv = (apply_brdf and cfg.rpv and cfg.func_m and cfg.func_f
+                  and cfg.func_h
+                  and all(len(params.get(n, ())) == 2 for n in rpv_names))
 
     if "sun_v_net" in params and sun_d is not None:
         out["sun_v"] = _sun_v_head(params, cfg, xyz_features, sun_d)
@@ -359,16 +404,25 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
             out["roughness"] = _head(params, cfg, "roughness_from_xyz",
                                      xyz_features, final="sigmoid")
         elif cfg.rpv:
-            if cfg.func_m:
-                k = _head(params, cfg, "k_from_xyz", xyz_features, final="sigmoid")
+            k = th = rc = None
+            if merged_rpv:
+                k, th, rc = _merged_sigmoid_heads(params, cfg,
+                                                  xyz_features, rpv_names)
+            else:
+                if cfg.func_m:
+                    k = _head(params, cfg, "k_from_xyz", xyz_features,
+                              final="sigmoid")
+                if cfg.func_f:
+                    th = _head(params, cfg, "theta_rpv_from_xyz",
+                               xyz_features, final="sigmoid")
+                if cfg.func_h:
+                    rc = _head(params, cfg, "rhoc_from_xyz", xyz_features,
+                               final="sigmoid")
+            if k is not None:
                 out["rpv_k"] = tile3((k - 0.5) * 2.0 + 1.0)        # [0, 2]
-            if cfg.func_f:
-                th = _head(params, cfg, "theta_rpv_from_xyz", xyz_features,
-                           final="sigmoid")
+            if th is not None:
                 out["rpv_theta"] = tile3((th - 0.5) * 2.0)          # [-1, 1]
-            if cfg.func_h:
-                rc = _head(params, cfg, "rhoc_from_xyz", xyz_features,
-                           final="sigmoid")
+            if rc is not None:
                 out["rpv_rhoc"] = tile3(rc)                          # [0, 1]
         else:
             if cfg.hapke_b:
