@@ -130,10 +130,12 @@ def _w0_of(i: int) -> float:
 
 def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
                    fast: bool, od, want_d2: bool = False):
-    """Primal chain; returns (h, act', act'' per layer, zsig) — the
+    """Primal chain; returns (h, act', act'' per layer, zsig, zs) — the
     derivative polynomials are evaluated inside the same pass as the
-    activation so range reduction happens once per layer."""
-    hs, d1s, d2s = [], [], []
+    activation so range reduction happens once per layer.  zs (the
+    pre-activations) let the backward kernel skip the primal matmul
+    recompute when the forward saved them."""
+    hs, d1s, d2s, zs = [], [], [], []
     h = None
     mid = 0
     for i in range(layers):
@@ -149,8 +151,9 @@ def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
         hs.append(h)
         d1s.append(d1)
         d2s.append(d2)
+        zs.append(z)
     zsig = _mm(h, packed["w_sigma"], od) + packed["b_sigma"]
-    return hs, d1s, d2s, zsig
+    return hs, d1s, d2s, zsig, zs
 
 
 def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
@@ -178,26 +181,32 @@ def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
 # ------------------------------------------------------------ fwd kernel
 
 def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
-                wsig_r, bsig_r, sigma_ref, feats_ref, gx_ref, *,
+                wsig_r, bsig_r, sigma_ref, feats_ref, gx_ref, *zs_refs,
                 layers: int, skip: int, siren: bool, fast: bool, od):
+    """zs_refs is (zs_ref,) when the wrapper wants the per-layer
+    pre-activations saved for the backward kernel (training), () on
+    no-grad paths (eval/serving pays no extra HBM write)."""
     packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
               "b_mid": bm_r[:], "w_skip_top": wst_r[:],
               "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
               "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
     x = x_ref[:]
-    hs, d1s, _, zsig = _forward_chain(x, packed, layers, skip, siren, fast,
-                                      od)
+    hs, d1s, _, zsig, zs = _forward_chain(x, packed, layers, skip, siren,
+                                          fast, od)
     lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
                  == 0).astype(jnp.float32)
     sigma_ref[:] = _softplus(zsig) * lane_mask
     feats_ref[:] = hs[-1].astype(feats_ref.dtype)
     gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren, fast,
                             od, lane_mask)
+    if zs_refs:
+        zs_refs[0][:] = jnp.concatenate(zs, axis=-1).astype(
+            zs_refs[0].dtype)
 
 
 # ------------------------------------------------------------ bwd kernel
 
-def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
+def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
                 w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r, wsig_r, bsig_r,
                 dw0_ref, db0_ref, dwm_ref, dbm_ref, dwst_ref, dwsb_ref,
                 dbs_ref, dwsig_ref, dbsig_ref, *,
@@ -210,10 +219,22 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref,
     t = cg_ref[:]                                    # tangent = c_g
     cs = cs_ref[:]                                   # (T, LANE), col 0 real
 
-    # 1) primal + tangent forward, keeping per-layer state in VMEM
-    # (h/act'/act'' evaluated once per layer and reused by the sweep)
-    hs, d1s, d2s, zsig = _forward_chain(x, packed, layers, skip, siren,
-                                        fast, od, want_d2=True)
+    # 1) primal state from the pre-activations the fwd kernel saved —
+    # skips the 8-matmul primal recompute (~17% of this kernel's FLOPs);
+    # h/act'/act'' come from the cheap activation polynomials instead
+    feat = wsig_r.shape[0]
+    zs_all = zs_ref[:]
+    hs, d1s, d2s = [], [], []
+    for i in range(layers):
+        z = zs_all[:, i * feat:(i + 1) * feat].astype(jnp.float32)
+        h, d1, d2 = _act_all(z, _w0_of(i), siren, fast, True)
+        hs.append(h)
+        d1s.append(d1)
+        d2s.append(d2)
+    zsig = _mm(hs[-1], packed["w_sigma"], od) + packed["b_sigma"]
+
+    # tangent forward (depends on the cotangent c_g, so it cannot be
+    # precomputed by the fwd kernel)
     tzs, ths = [], []
     th = None
     mid = 0
@@ -294,7 +315,11 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
-def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
+def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
+             want_zs: bool = False):
+    """want_zs: additionally return the stacked per-layer pre-activations
+    (n_p, layers*feat) for the backward kernel (training path only —
+    costs one extra HBM stream; eval/serving skips it)."""
     if interpret is None:
         interpret = _interpret_default()
     layers, skip, siren, fast, od = _static(cfg)
@@ -318,33 +343,46 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None):
                   pltpu.CompilerParams(
                       vmem_limit_bytes=100 * 1024 * 1024,
                       dimension_semantics=("parallel",)))
-    sigma, feats, gx = pl.pallas_call(
+    out_specs = [row(LANE), row(feat), row(ein_p)]
+    # feats leave the kernel in the activation-storage dtype: under
+    # bfloat16_all the XLA trunk also hands bf16 feats to the heads,
+    # and f32 here would force a 268 MB convert before every head
+    # matmul at flagship shapes
+    out_shape = [jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
+                 jax.ShapeDtypeStruct(
+                     (n_p, feat),
+                     jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
+                     else jnp.float32),
+                 jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)]
+    if want_zs:
+        out_specs.append(row(layers * feat))
+        # zs stored in the compute dtype: bf16 rounding of the saved
+        # pre-activations matches the precision regime of the bf16
+        # matmuls that produced them; f32 configs save f32 (bit-exact
+        # parity with the recompute path)
+        out_shape.append(jax.ShapeDtypeStruct((n_p, layers * feat), od))
+    outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p),
                   full((ein_p, feat)), full((feat,)),
                   full((n_mid, feat, feat)), full((n_mid, feat)),
                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
                   full((feat, LANE)), full((LANE,))],
-        out_specs=(row(LANE), row(feat), row(ein_p)),
-        # feats leave the kernel in the activation-storage dtype: under
-        # bfloat16_all the XLA trunk also hands bf16 feats to the heads,
-        # and f32 here would force a 268 MB convert before every head
-        # matmul at flagship shapes
-        out_shape=(jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct(
-                       (n_p, feat),
-                       jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
-                       else jnp.float32),
-                   jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(x, packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
       packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
       packed["w_sigma"], packed["b_sigma"])
-    return sigma[:n, 0], feats[:n], gx[:n, :ein]
+    sigma, feats, gx = outs[0], outs[1], outs[2]
+    res = (sigma[:n, 0], feats[:n], gx[:n, :ein])
+    if want_zs:
+        return res + (outs[3],)      # zs stays padded (kernel-layout)
+    return res
 
 
 def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
-             interpret=None):
+             zs, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
     layers, skip, siren, fast, od = _static(cfg)
@@ -364,6 +402,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
     # costs ~0.6 ms at flagship shapes, and the kernel upcasts on use
     cf = jnp.zeros((n_p, feat), c_feats.dtype).at[:n].set(c_feats)
     cg = padrow(c_g, ein_p)
+    assert zs.shape == (n_p, layers * feat), (zs.shape, n_p, layers, feat)
 
     grid = (n_p // TILE_N,)
     kern = functools.partial(_bwd_kernel, layers=layers, skip=skip,
@@ -381,6 +420,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
     outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p), row(LANE), row(feat), row(ein_p),
+                  row(layers * feat),
                   full((ein_p, feat)), full((feat,)),
                   full((n_mid, feat, feat)), full((n_mid, feat)),
                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
@@ -402,7 +442,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
                    jax.ShapeDtypeStruct((feat, LANE), jnp.float32),
                    jax.ShapeDtypeStruct((LANE,), jnp.float32)),
         interpret=interpret,
-    )(x, cs, cf, cg,
+    )(x, cs, cf, cg, zs,
       packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
       packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
       packed["w_sigma"], packed["b_sigma"])
@@ -443,15 +483,19 @@ def trunk_core(cfg: ModelConfig, params_sub: Dict, x_enc):
 
 
 def _trunk_core_fwd(cfg, params_sub, x_enc):
-    out = trunk_core(cfg, params_sub, x_enc)
-    return out, (params_sub, x_enc)
+    # the differentiated path asks the fwd kernel to save the per-layer
+    # pre-activations so the bwd kernel skips the primal recompute; the
+    # primal trunk_core (no-grad eval/serving) never pays that write
+    packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
+    sigma, feats, gx, zs = _run_fwd(cfg, packed, x_enc, want_zs=True)
+    return (sigma, feats, gx), (params_sub, x_enc, zs)
 
 
 def _trunk_core_bwd(cfg, res, cots):
-    params_sub, x_enc = res
+    params_sub, x_enc, zs = res
     c_sigma, c_feats, c_g = cots
     packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
-    outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g)
+    outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g, zs)
     d_params = _unpack_grads(cfg, x_enc.shape[-1], outs)
     return d_params, jnp.zeros_like(x_enc)
 
