@@ -425,14 +425,26 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
             if rc is not None:
                 out["rpv_rhoc"] = tile3(rc)                          # [0, 1]
         else:
+            hp_names = []
             if cfg.hapke_b:
-                b = _head(params, cfg, "b_from_xyz", xyz_features, final="sigmoid")
-                out["hpk_b"] = tile3(b)
+                hp_names.append("b_from_xyz")
             if cfg.hapke_c:
-                c = _head(params, cfg, "c_from_xyz", xyz_features, final="sigmoid")
-                out["hpk_c"] = tile3(c)
+                hp_names.append("c_from_xyz")
             if apply_theta and cfg.hapke_theta:
-                th = _head(params, cfg, "theta_from_xyz", xyz_features,
-                           final="sigmoid")
-                out["hpk_theta"] = th * (math.pi * 30.0 / 180.0)     # [0, 30deg]
+                hp_names.append("theta_from_xyz")
+            if len(hp_names) >= 2 and all(
+                    len(params.get(n, ())) == 2 for n in hp_names):
+                # same merged evaluation as the RPV heads
+                vals = dict(zip(hp_names, _merged_sigmoid_heads(
+                    params, cfg, xyz_features, tuple(hp_names))))
+            else:
+                vals = {n: _head(params, cfg, n, xyz_features,
+                                 final="sigmoid") for n in hp_names}
+            if "b_from_xyz" in vals:
+                out["hpk_b"] = tile3(vals["b_from_xyz"])
+            if "c_from_xyz" in vals:
+                out["hpk_c"] = tile3(vals["c_from_xyz"])
+            if "theta_from_xyz" in vals:
+                out["hpk_theta"] = (vals["theta_from_xyz"]
+                                    * (math.pi * 30.0 / 180.0))  # [0, 30deg]
     return out
