@@ -159,6 +159,33 @@ def test_spsbrdf_branches(store, tmp_path, brdf):
     _fit(store, mcfg, rcfg, tcfg, tmp_path, steps=30)
 
 
+def test_spsbrdf_fine_model_render(store):
+    """spsbrdf-nerf with a fine network (n_importance > 0): the coarse
+    weights drive an inverse-CDF resample and a separate 'fine' parameter
+    set renders the merged samples, keys suffixed _fine
+    (rendering.py:294-332 else-branch for the spsbrdf variant)."""
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    from brdfnerf_tpu.models.network import init_network
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", func_m=True, func_f=True,
+                       func_h=1, layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0, n_importance=4,
+                        apply_brdf=True, perturb=0.0)
+    params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg),
+              "fine": init_network(jax.random.PRNGKey(1), mcfg)}
+    n = 16
+    rays = np.asarray(store["rays"][:n])
+    inp = RenderInputs(rays=jnp.asarray(rays),
+                       cos_irra_on=jnp.asarray(False))
+    out = render_rays(params, mcfg, rcfg, inp, jax.random.PRNGKey(2),
+                      train=True)
+    assert out["rgb_fine"].shape == (n, 3)
+    assert out["z_vals_fine"].shape == (n, 8 + 4)   # merged sorted samples
+    assert "rpv_k_fine" in out and "normal_an_fine" in out
+    assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+    assert np.isfinite(np.asarray(out["depth_fine"])).all()
+
+
 def test_spsbrdf_multibrdf_and_sun_march(store, tmp_path):
     mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
                        normal="analystic", sun_v="analystic",
