@@ -297,9 +297,13 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
     pair with a hand-derived custom VJP (ops/pallas_trunk_vjp.py) —
     numerically equivalent, all activations VMEM-resident."""
     # the fused kernels assume the reference architecture (exactly one
-    # skip layer, nerf.py:165); fall back to XLA autodiff otherwise
-    if fused_trunk and len(cfg.skips) != 1:
-        fused_trunk = False
+    # IN-RANGE skip layer, nerf.py:165); fall back to XLA autodiff
+    # otherwise (e.g. fc_layers=4 with the default skip index 4, which
+    # the reference treats as a skipless trunk)
+    if fused_trunk:
+        from ..ops.pallas_mlp import kernel_supports
+        if not kernel_supports(cfg):
+            fused_trunk = False
     if fused_trunk:
         from ..ops.pallas_trunk_vjp import fused_trunk_with_grad
         sigma, feats, grad_x = fused_trunk_with_grad(params, cfg, xyz)

@@ -48,6 +48,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def kernel_supports(cfg: ModelConfig) -> bool:
+    """The fused trunk kernels assume the reference architecture: exactly
+    one skip layer whose index lies INSIDE the trunk.  The reference
+    silently drops an out-of-range skip (nerf.py builds no skip when
+    skips=[4] with fc_layers=4), which the XLA trunk reproduces — callers
+    must fall back to XLA when this returns False."""
+    return len(cfg.skips) == 1 and 0 < cfg.skips[0] < cfg.layers
+
+
 def pack_trunk_weights(params: Dict, cfg: ModelConfig,
                        dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Flatten trunk + sigma head into padded dense matrices.

@@ -100,7 +100,8 @@ def sigma_pass(params, mcfg: ModelConfig, rcfg: RenderConfig,
     stop_gradient (render.py _guided / sun-march)."""
     n_rays, n_samples = z_vals.shape
     xyz = _flat_points(rays_o, rays_d, z_vals).reshape(-1, 3)
-    if rcfg.use_pallas:
+    from ..ops.pallas_mlp import kernel_supports
+    if rcfg.use_pallas and kernel_supports(mcfg):
         from ..ops.pallas_mlp import fused_sigma_fn
         sigmas = fused_sigma_fn(
             jax.lax.stop_gradient(params), mcfg,

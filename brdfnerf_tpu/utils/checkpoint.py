@@ -66,6 +66,11 @@ def save_checkpoint(path: str, params: Any, step: int = 0,
 
 
 def load_flat(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith((".ckpt", ".pth", ".pt")):
+        # a reference (torch/Lightning) checkpoint: convert on the fly so
+        # --in_ckpts/--resume accept checkpoints trained by the reference
+        from .torch_import import import_torch_checkpoint
+        return import_torch_checkpoint(path)
     with np.load(path, allow_pickle=False) as z:
         return {k: z[k] for k in z.files}
 

@@ -239,6 +239,41 @@ def test_fused_vjp_in_full_render_and_train_grad(brdf):
             err_msg=jax.tree_util.keystr(ka))
 
 
+def test_skipless_trunk_falls_back_to_xla():
+    """fc_layers=4 with the default skip index 4 is a SKIPLESS trunk in
+    the reference (the skip never materializes); the fused kernels assume
+    an in-range skip, so both use_pallas and fused_trunk must fall back
+    to XLA instead of KeyError'ing (caught by the TPU quickstart run —
+    CPU tests default use_pallas off)."""
+    import dataclasses as dc
+    from brdfnerf_tpu.config import RenderConfig
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      normal="analystic", func_m=True, func_f=True,
+                      func_h=1, layers=4, feat=64, skips=(4,),
+                      compute_dtype="float32")
+    params = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
+    n = 16
+    o = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
+                           maxval=1.0)
+    d = jnp.tile(jnp.asarray([[0.0, 0.1, -1.0]]), (n, 1))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.concatenate(
+        [o, d, jnp.zeros((n, 1)), jnp.full((n, 1), 2.0),
+         jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (n, 1))], axis=1)
+    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
+    rcfg_x = RenderConfig(n_samples=8, guided_samples=8, perturb=0.0,
+                          apply_brdf=True)
+    rcfg_f = dc.replace(rcfg_x, use_pallas=True, fused_trunk=True)
+    key = jax.random.PRNGKey(2)
+    out_x = render_rays(params, cfg, rcfg_x, inp, key, train=True)
+    out_f = render_rays(params, cfg, rcfg_f, inp, key, train=True)
+    np.testing.assert_allclose(np.asarray(out_f["rgb_coarse"]),
+                               np.asarray(out_x["rgb_coarse"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_render_with_pallas_sigma_pass():
     """Full spsbrdf render with use_pallas matches the XLA path."""
     import dataclasses as dc
