@@ -51,8 +51,8 @@ def main(argv=None):
     s = ds.get_image(args.image_idx)
     h, w = s["h"], s["w"]
 
-    ckpt_path = os.path.join(ropts.ckpts_dir, ropts.exp_name,
-                             f"epoch={args.epoch_number}.npz")
+    ckpt_path = ckpt.resolve_epoch_ckpt(
+        os.path.join(ropts.ckpts_dir, ropts.exp_name), args.epoch_number)
     tr = Trainer(cfg, _dummy_store(ds),
                  TrainerPaths(logs_dir=out_dir, ckpts_dir=out_dir))
     params = ckpt.restore_params(tr.state.params, ckpt_path)

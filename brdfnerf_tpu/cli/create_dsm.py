@@ -66,8 +66,8 @@ def main(argv=None):
         load_depth=(ropts.model in ("sps-nerf", "spsbrdf-nerf")))
     val_ds = SatelliteDataset(sat_cfg, split="val")
 
-    ckpt_path = os.path.join(ropts.ckpts_dir, ropts.exp_name,
-                             f"epoch={args.epoch_number}.npz")
+    ckpt_path = ckpt.resolve_epoch_ckpt(
+        os.path.join(ropts.ckpts_dir, ropts.exp_name), args.epoch_number)
     paths = TrainerPaths(logs_dir=out_dir, ckpts_dir=out_dir,
                          gt_dir=ropts.gt_dir, aoi_id=ropts.aoi_id)
     tr = Trainer(cfg, _dummy_store(val_ds), paths, val_dataset=val_ds)

@@ -59,8 +59,8 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
         store = None
 
     ckpts_dir = checkpoints_dir or os.path.join(args.ckpts_dir, args.exp_name)
-    ckpt_path = os.path.join(ckpts_dir, f"epoch={epoch_number}.npz")
-    assert os.path.exists(ckpt_path), f"{ckpt_path} not found"
+    # native .npz, or a reference-trained Lightning .ckpt converted on load
+    ckpt_path = ckpt.resolve_epoch_ckpt(ckpts_dir, epoch_number)
 
     # trainer used purely as the render harness; params come from the ckpt
     dummy_store = _dummy_store(val_ds)

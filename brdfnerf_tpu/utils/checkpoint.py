@@ -108,6 +108,18 @@ def restore_params(template: Any, path: str,
     return params
 
 
+def resolve_epoch_ckpt(ckpts_dir: str, epoch_number: int) -> str:
+    """Path of epoch={n}: native .npz, else the reference's Lightning
+    .ckpt (converted on load by load_flat via utils/torch_import)."""
+    npz = os.path.join(ckpts_dir, f"epoch={epoch_number}.npz")
+    if os.path.exists(npz):
+        return npz
+    torch_path = os.path.join(ckpts_dir, f"epoch={epoch_number}.ckpt")
+    if os.path.exists(torch_path):
+        return torch_path
+    raise FileNotFoundError(f"neither {npz} nor {torch_path} found")
+
+
 def checkpoint_step(path: str) -> int:
     flat = load_flat(path)
     return int(flat.get("__step__", np.asarray(0)))
