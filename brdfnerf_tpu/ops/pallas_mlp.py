@@ -50,11 +50,14 @@ def _round_up(x: int, m: int) -> int:
 
 def kernel_supports(cfg: ModelConfig) -> bool:
     """The fused trunk kernels assume the reference architecture: exactly
-    one skip layer whose index lies INSIDE the trunk.  The reference
-    silently drops an out-of-range skip (nerf.py builds no skip when
-    skips=[4] with fc_layers=4), which the XLA trunk reproduces — callers
-    must fall back to XLA when this returns False."""
-    return len(cfg.skips) == 1 and 0 < cfg.skips[0] < cfg.layers
+    one skip layer whose index lies INSIDE the trunk, plus at least one
+    non-skip mid layer (pack_trunk_weights stacks the mids — empty at
+    layers=2).  The reference silently drops an out-of-range skip
+    (nerf.py builds no skip when skips=[4] with fc_layers=4), which the
+    XLA trunk reproduces — callers must fall back to XLA when this
+    returns False."""
+    return (len(cfg.skips) == 1 and 0 < cfg.skips[0] < cfg.layers
+            and cfg.layers >= 3)
 
 
 def pack_trunk_weights(params: Dict, cfg: ModelConfig,

@@ -356,11 +356,15 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
                  jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)]
     if want_zs:
         out_specs.append(row(layers * feat))
-        # zs stored in the compute dtype: bf16 rounding of the saved
-        # pre-activations matches the precision regime of the bf16
-        # matmuls that produced them; f32 configs save f32 (bit-exact
-        # parity with the recompute path)
-        out_shape.append(jax.ShapeDtypeStruct((n_p, layers * feat), od))
+        # zs stored in the ACTIVATION-STORAGE dtype (same rule as feats
+        # above): bf16 only under bfloat16_all, where bf16 rounding of the
+        # saved pre-activations matches the precision regime of the rest
+        # of the pipeline.  Plain 'bfloat16' (mixed) keeps its documented
+        # f32-activation contract — and f32 zs are bit-exact parity with
+        # the recompute path.
+        zs_dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
+                 else jnp.float32)
+        out_shape.append(jax.ShapeDtypeStruct((n_p, layers * feat), zs_dt))
     outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p),

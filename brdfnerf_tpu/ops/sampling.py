@@ -75,13 +75,17 @@ def sample_pdf(key, bins, weights, n_importance: int,
     # EACH at (1024, 64) from (1024, 65) on v5e — 5.4 ms/step across the
     # two sample_pdf calls of a guided render); the (N, U, B+1) one-hot
     # compare + reduce stays on the VPU and costs microseconds
+    # precision='highest': the einsum lowers to dot_general, and TPU's
+    # default matmul precision would round the f32 cdf/bin operands to
+    # bf16 — the lookups must stay EXACT (the old gathers were; adjacent
+    # CDF gaps below ~2^-9 would otherwise collapse onto the eps guard)
     iota = jnp.arange(n_bins + 1, dtype=jnp.int32)
     oh_below = (iota[None, None, :] == below[:, :, None]).astype(bins.dtype)
     oh_above = (iota[None, None, :] == above[:, :, None]).astype(bins.dtype)
-    cdf_lo = jnp.einsum("nub,nb->nu", oh_below, cdf)
-    cdf_hi = jnp.einsum("nub,nb->nu", oh_above, cdf)
-    bin_lo = jnp.einsum("nub,nb->nu", oh_below, bins)
-    bin_hi = jnp.einsum("nub,nb->nu", oh_above, bins)
+    cdf_lo = jnp.einsum("nub,nb->nu", oh_below, cdf, precision="highest")
+    cdf_hi = jnp.einsum("nub,nb->nu", oh_above, cdf, precision="highest")
+    bin_lo = jnp.einsum("nub,nb->nu", oh_below, bins, precision="highest")
+    bin_hi = jnp.einsum("nub,nb->nu", oh_above, bins, precision="highest")
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bins never sampled

@@ -82,7 +82,15 @@ def _to_numpy(v) -> np.ndarray:
 def import_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .ckpt (or bare state_dict .pth) as our flat dict."""
     import torch
-    d = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # weights_only rejects arbitrary pickled code — Lightning
+        # state_dict+global_step checkpoints load fine this way
+        d = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"[torch_import] {path}: weights_only load failed; falling "
+              f"back to full unpickling — only do this for checkpoints "
+              f"you trust")
+        d = torch.load(path, map_location="cpu", weights_only=False)
     sd = d.get("state_dict", d) if isinstance(d, dict) else d
     flat = convert_state_dict(sd)
     if not flat:

@@ -239,6 +239,21 @@ def test_fused_vjp_in_full_render_and_train_grad(brdf):
             err_msg=jax.tree_util.keystr(ka))
 
 
+def test_kernel_supports_guard():
+    from brdfnerf_tpu.ops.pallas_mlp import kernel_supports
+    ok = ModelConfig(variant="spsbrdf-nerf", layers=8, skips=(4,))
+    assert kernel_supports(ok)
+    # out-of-range skip (reference: skipless trunk)
+    assert not kernel_supports(ModelConfig(variant="spsbrdf-nerf",
+                                           layers=4, skips=(4,)))
+    # layers=2 leaves no mid layers for pack_trunk_weights to stack
+    assert not kernel_supports(ModelConfig(variant="spsbrdf-nerf",
+                                           layers=2, skips=(1,)))
+    # multi-skip architectures are XLA-only
+    assert not kernel_supports(ModelConfig(variant="spsbrdf-nerf",
+                                           layers=8, skips=(2, 5)))
+
+
 def test_skipless_trunk_falls_back_to_xla():
     """fc_layers=4 with the default skip index 4 is a SKIPLESS trunk in
     the reference (the skip never materializes); the fused kernels assume

@@ -18,8 +18,19 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+
+
+def _have_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and _have_torch()),
+    reason="reference repo not mounted or torch unavailable")
 
 
 @pytest.fixture(scope="module")
@@ -36,29 +47,31 @@ def ref_model_and_ckpt(tmp_path_factory):
                     parent, child = name.rsplit(".", 1)
                     setattr(sys.modules[parent], child, mod)
     sys.path.insert(0, REF)
-    import importlib
-    import torch
-    torch.manual_seed(7)
-    spsb = importlib.import_module("models.spsbrdfnerf")
-    args = types.SimpleNamespace(
-        input_viewdir=False, funcM=True, funcF=True, funcH=1,
-        b=False, c=False, theta=False)
-    model = spsb.SpSBRDFNeRF(args, layers=4, feat=64, mapping=True,
-                             mapping_sizes=[10, 4], skips=[2], siren=True,
-                             beta=False, roughness=False,
-                             normal="analystic", sun_v="none",
-                             indirect_light=False, dim_RPV=1)
-    model.eval()
-    # Lightning-style checkpoint exactly as the reference writes it
-    # (ModelCheckpoint: state_dict with nerf_coarse.* keys, global_step)
-    ckpt_path = str(tmp_path_factory.mktemp("ref_ckpt") / "epoch=9.ckpt")
-    torch.save({
-        "state_dict": {f"nerf_coarse.{k}": v
-                       for k, v in model.state_dict().items()},
-        "global_step": 12345,
-    }, ckpt_path)
-    yield model, ckpt_path
-    sys.path.remove(REF)
+    try:
+        import importlib
+        import torch
+        torch.manual_seed(7)
+        spsb = importlib.import_module("models.spsbrdfnerf")
+        args = types.SimpleNamespace(
+            input_viewdir=False, funcM=True, funcF=True, funcH=1,
+            b=False, c=False, theta=False)
+        model = spsb.SpSBRDFNeRF(args, layers=4, feat=64, mapping=True,
+                                 mapping_sizes=[10, 4], skips=[2],
+                                 siren=True, beta=False, roughness=False,
+                                 normal="analystic", sun_v="none",
+                                 indirect_light=False, dim_RPV=1)
+        model.eval()
+        # Lightning-style checkpoint exactly as the reference writes it
+        # (ModelCheckpoint: state_dict with nerf_coarse.* keys, global_step)
+        ckpt_path = str(tmp_path_factory.mktemp("ref_ckpt") / "epoch=9.ckpt")
+        torch.save({
+            "state_dict": {f"nerf_coarse.{k}": v
+                           for k, v in model.state_dict().items()},
+            "global_step": 12345,
+        }, ckpt_path)
+        yield model, ckpt_path
+    finally:
+        sys.path.remove(REF)
 
 
 def test_reference_ckpt_roundtrip(ref_model_and_ckpt):
