@@ -181,3 +181,60 @@ def test_scale_img_modes():
         assert pc[c].min() == 0.0 and abs(pc[c].max() - 255.0) < 1e-9
     b = dg.scale_img(img, vmin=0.0, vmax=200.0)
     assert abs(b.max() - 100 * 255.0 / 200.0) < 1e-9
+
+
+def test_generate_dataset_cli(aoi, tmp_path):
+    """The generate_dataset CLI (reference generate_dataset.py:483-508
+    __main__): DSM crop + image patches + JSONs/splits from flags, with
+    RPC00B sidecar discovery."""
+    import numpy as np
+    from synth_aoi import (affine_rpc_dict, ground_texture, localize_affine,
+                           ALT0, ZONE, W)
+    from brdfnerf_tpu.utils.geotiff import (write_geotiff, read_geotiff,
+                                            GeoProfile, utm_epsg)
+    from brdfnerf_tpu.cli.generate_dataset import main as gen_main
+
+    # full-scene images + RPC00B text sidecars
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    full = 3 * W
+    for i, tilt in enumerate([(0.0, 0.0), (0.1, 0.05)]):
+        d = affine_rpc_dict(*tilt)
+        d = dict(d, col_offset=full / 2.0, row_offset=full / 2.0,
+                 col_scale=full / 2.0, row_scale=full / 2.0,
+                 lon_scale=3 * d["lon_scale"], lat_scale=3 * d["lat_scale"])
+        cols, rows = np.meshgrid(np.arange(full), np.arange(full))
+        lon, lat = localize_affine(d, cols, rows, ALT0)
+        tex = ground_texture(lon, lat)
+        p = str(img_dir / f"full_{i:02d}.tif")
+        write_geotiff(p, (np.stack([tex] * 3) * 4000).astype(np.float32),
+                      GeoProfile(epsg=utm_epsg(ZONE, True)))
+        lines = [f"LINE_OFF: {d['row_offset']} pixels",
+                 f"SAMP_OFF: {d['col_offset']} pixels",
+                 f"LAT_OFF: {d['lat_offset']} degrees",
+                 f"LONG_OFF: {d['lon_offset']} degrees",
+                 f"HEIGHT_OFF: {d['alt_offset']} meters",
+                 f"LINE_SCALE: {d['row_scale']} pixels",
+                 f"SAMP_SCALE: {d['col_scale']} pixels",
+                 f"LAT_SCALE: {d['lat_scale']} degrees",
+                 f"LONG_SCALE: {d['lon_scale']} degrees",
+                 f"HEIGHT_SCALE: {d['alt_scale']} meters"]
+        for pref, key in (("LINE_NUM_COEFF", "row_num"),
+                          ("LINE_DEN_COEFF", "row_den"),
+                          ("SAMP_NUM_COEFF", "col_num"),
+                          ("SAMP_DEN_COEFF", "col_den")):
+            for j, v in enumerate(d[key]):
+                lines.append(f"{pref}_{j + 1}: {v}")
+        (img_dir / f"full_{i:02d}.rpc").write_text("\n".join(lines))
+
+    out_dir = str(tmp_path / "out")
+    rc = gen_main(["--aoi_id", aoi["aoi_id"], "--dsm_dir", aoi["gt_dir"],
+                   "--img_dir", str(img_dir), "--out_dir", out_dir,
+                   "--utm_zone", str(ZONE)])
+    assert rc == 0
+    root = os.path.join(out_dir, f"dataset{aoi['aoi_id']}", "root_dir",
+                        aoi["aoi_id"])
+    assert os.path.exists(os.path.join(root, "train.txt"))
+    with open(os.path.join(root, "full_00.json")) as f:
+        meta = json.load(f)
+    assert "rpc" in meta and meta["width"] > 0
