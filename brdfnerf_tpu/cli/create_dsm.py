@@ -80,9 +80,12 @@ def main(argv=None):
     rays[:, 8:11] = sun                      # sun-direction override
     s["rays"] = rays
     out = tr.render_image(s)
+    roi = (dsm_mod.load_roi(ropts.gt_dir, ropts.aoi_id)
+           if ropts.gt_dir else None)
     dsm, prof = dsm_mod.dsm_from_depth(
         rays, out["depth_coarse"], val_ds.scene, cs=val_ds.cfg.cs,
         utm_zone=val_ds.utm_zone,
+        resolution=(float(roi[3]) if roi is not None else 0.5),
         dsm_path=os.path.join(out_dir, f"{s['src_id']}_dsm.tif"))
     print(f"wrote {out_dir}/{s['src_id']}_dsm.tif (view {view_idx})")
     if ropts.gt_dir:

@@ -109,9 +109,12 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
                       depth.reshape(1, h, w).astype(np.float32), GeoProfile())
         scene = getattr(val_ds, "scene", None)
         if scene is not None:
+            roi = (dsm_mod.load_roi(args.gt_dir, args.aoi_id)
+                   if args.gt_dir else None)
             dsm, prof = dsm_mod.dsm_from_depth(
                 s["rays"], depth, scene, cs=val_ds.cfg.cs,
                 utm_zone=val_ds.utm_zone,
+                resolution=(float(roi[3]) if roi is not None else 0.5),
                 dsm_path=os.path.join(out_dir, "dsm", f"{src}_dsm.tif"))
             if args.gt_dir:
                 rep = dsm_mod.mae_report(

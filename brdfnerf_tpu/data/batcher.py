@@ -67,6 +67,10 @@ class DeviceRayBatcher(RayBatcher):
         import jax
         import jax.numpy as jnp
         self._store = {k: jnp.asarray(v) for k, v in arrays.items()}
+        # drop the host copy: the base class only needs it for its own
+        # next_batch (unused here), and a satellite ray store is
+        # O(GB) of host RAM that would otherwise stay pinned all run
+        self.arrays = {}
         self._gather = jax.jit(
             lambda store, idx: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), store))

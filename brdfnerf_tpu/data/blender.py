@@ -6,7 +6,8 @@ camera_angle_x scaled from 800px (blender.py:126-128), pinhole directions
 [(i-cx)/fx, -(j-cy)/fy, -1] without +0.5 centering (blender.py:33-55),
 near=2 far=6 (blender.py:135-136), white-background alpha blend
 (blender.py:169,213), optional color/occlusion perturbations
-(blender.py:82-100), train capped at 100 images (blender.py:143-149).
+(blender.py:82-100); the train cap loads frames t=0..100 inclusive — 101
+images — reproducing the reference's `t > 100` break (blender.py:143-157).
 Ray layout: [o(3), d(3), near, far] + ts (the image index).
 """
 

@@ -278,6 +278,12 @@ def normals_from_grid_points(pts3d: np.ndarray,
     if valid is None:
         valid = np.ones((h, w), np.float32)
     valid_nr = np.where(valid < 1e-5, valid, np.ones_like(valid))
+    # reference QUIRK kept (sat_utils.py:24): the interior assignment
+    # overwrites the center-validity term, so an interior pixel with an
+    # INVALID center but 4 valid neighbors is still flagged valid — its
+    # normal is then computed against the hole's zero point.  Rare in
+    # practice (MicMac holes cluster), and changing it would diverge from
+    # the reference's normal-supervision masks.
     inner = (valid[2:, 1:-1] * valid[:-2, 1:-1]
              * valid[1:-1, 2:] * valid[1:-1, :-2])
     valid_nr[1:-1, 1:-1] = inner

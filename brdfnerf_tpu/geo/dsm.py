@@ -108,6 +108,16 @@ def dsm_from_depth(rays: np.ndarray, depth: np.ndarray, scene: SceneLoc,
     return dsm, prof
 
 
+def load_roi(gt_dir: str, aoi_id: str) -> Optional[np.ndarray]:
+    """The {aoi}_DSM.txt ROI (xoff, yoff_bottom, size, resolution), or
+    None when absent — callers pass roi[3] as the rasterization
+    resolution so prediction and GT share one grid."""
+    path = os.path.join(gt_dir, f"{aoi_id}_DSM.txt")
+    if not os.path.exists(path):
+        return None
+    return np.loadtxt(path)
+
+
 # ------------------------------------------------------------------- crop
 
 def crop_to_roi(dsm: np.ndarray, prof: GeoProfile, ulx: float, uly: float,
@@ -196,6 +206,12 @@ def pointwise_diff(pred_dsm: np.ndarray, pred_prof: GeoProfile,
     xoff, yoff_b = float(roi[0]), float(roi[1])
     size = int(roi[2])
     res = float(roi[3])
+    if abs(pred_prof.xres - res) > 1e-9:
+        raise ValueError(
+            f"predicted DSM resolution {pred_prof.xres} != GT ROI "
+            f"resolution {res}: the crop/diff would compare incommensurate "
+            f"grids — rasterize the prediction at the GT resolution "
+            f"(dsm_from_depth(resolution=roi[3]) or load_roi)")
     uly = yoff_b + size * res
     pred = crop_to_roi(pred_dsm, pred_prof, xoff, uly, size, size)
     if pred_mask is not None:

@@ -141,7 +141,13 @@ def utm_from_latlon(lats, lons, zone: int | None = None):
 
     easting = _K0 * _A_CAP * eta + 500000.0
     northing = _K0 * _A_CAP * xi
-    northing = np.where(lats < 0.0, northing + 10000000.0, northing)
+    # the false northing follows the SCENE's hemisphere (first point, like
+    # the zone), not each point's: a +proj=utm CRS applies one false
+    # northing to every coordinate, so an equator-straddling cloud must
+    # stay continuous (per-point application would split it by 1e7 m)
+    southern = bool(lats.ravel()[0] < 0.0) if lats.size else False
+    if southern:
+        northing = northing + 10000000.0
     return easting, northing
 
 

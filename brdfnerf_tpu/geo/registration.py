@@ -101,10 +101,9 @@ def apply_shift(v: np.ndarray, dx: int = 0, dy: int = 0,
     (dsmr.apply_shift_:138-151)."""
     h, w = v.shape
     out = np.full_like(v, np.nan, dtype=np.float64)
-    uu, vv = _overlap(np.empty((h, w)), v, dx, dy)
-    if vv is None:
+    ui0, ui1 = max(0, -dx), min(w, w - dx)
+    uj0, uj1 = max(0, -dy), min(h, h - dy)
+    if ui1 <= ui0 or uj1 <= uj0:
         return out
-    ui0, ui1 = max(0, -dx), min(w, v.shape[1] - dx)
-    uj0, uj1 = max(0, -dy), min(h, v.shape[0] - dy)
-    out[uj0:uj1, ui0:ui1] = a * vv + b
+    out[uj0:uj1, ui0:ui1] = a * v[uj0 + dy:uj1 + dy, ui0 + dx:ui1 + dx] + b
     return out

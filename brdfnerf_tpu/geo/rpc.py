@@ -44,11 +44,17 @@ class RPCModel(NamedTuple):
 
 
 def rpc_from_dict(d: dict) -> RPCModel:
-    """Build from an rpcm-format dict (the JSON "rpc" field)."""
+    """Build from an rpcm-format dict (the JSON "rpc" field).
+
+    Fields are kept as FLOAT64 NumPy arrays: the host-side _np paths
+    (ray ingestion, DSM tooling) need full precision — an f32-quantized
+    lat/lon offset shifts an image's georeference by up to ~0.4 m,
+    independently per view.  The jittable device twins downcast at trace
+    time (f32 unless jax_enable_x64), which only affects on-device users."""
+    import numpy as np
+
     def arr(k):
-        return jnp.asarray(d[k], dtype=jnp.float64
-                           if jax.config.read("jax_enable_x64")
-                           else jnp.float32)
+        return np.asarray(d[k], dtype=np.float64)
     return RPCModel(
         row_offset=arr("row_offset"), col_offset=arr("col_offset"),
         lat_offset=arr("lat_offset"), lon_offset=arr("lon_offset"),

@@ -15,7 +15,14 @@ def mse(image_pred, image_gt, valid_mask=None):
     value = (image_pred - image_gt) ** 2
     value = value / (jnp.max(image_gt) ** 2)
     if valid_mask is not None:
-        return jnp.sum(value * valid_mask) / jnp.maximum(jnp.sum(valid_mask), 1)
+        # per-ELEMENT mean over the masked region: the mask (e.g. (h,w,1))
+        # broadcasts across channels, so the denominator must count every
+        # masked element, not masked pixels — the reference's boolean
+        # row-indexing (value[valid_mask].mean(), metrics.py:295-298)
+        # averages per element; a pixel-count denominator inflated the
+        # masked MSE by x3 (-4.77 dB PSNR)
+        m = jnp.broadcast_to(valid_mask, value.shape)
+        return jnp.sum(value * m) / jnp.maximum(jnp.sum(m), 1)
     return jnp.mean(value)
 
 

@@ -455,9 +455,11 @@ class Trainer:
             rep = None
             if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
                 depth = out["depth_coarse"]
+                roi = dsm_mod.load_roi(self.paths.gt_dir, self.paths.aoi_id)
                 dsm, prof = dsm_mod.dsm_from_depth(
                     s["rays"], depth, ds.scene, cs=ds.cfg.cs,
-                    utm_zone=ds.utm_zone)
+                    utm_zone=ds.utm_zone,
+                    resolution=(float(roi[3]) if roi is not None else 0.5))
                 if not is_val:
                     # train-image "fair MAE": Cloud2Grid NaN infill before
                     # diffing, so train/val MAE compare apples-to-apples

@@ -90,8 +90,11 @@ def test_dsm_eval_end_to_end(aoi):
     rays = s["rays"]
     frac = (MAX_ALT - ALT0) / (MAX_ALT - MIN_ALT)
     depth = frac * rays[:, 7]
+    from brdfnerf_tpu.geo.dsm import load_roi
+    roi = load_roi(aoi["gt_dir"], aoi["aoi_id"])
     dsm, prof = dsm_from_depth(rays, depth, ds.scene, cs="utm",
-                               utm_zone=ds.utm_zone)
+                               utm_zone=ds.utm_zone,
+                               resolution=float(roi[3]))
     assert np.isfinite(dsm).any()
     finite = dsm[np.isfinite(dsm)]
     np.testing.assert_allclose(finite, ALT0, atol=0.05)
