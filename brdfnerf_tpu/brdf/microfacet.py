@@ -58,6 +58,11 @@ def microfacet_brdf(pts2l, pts2c, normal, albedo, rough,
 
     Returns (glossy, brdf, f, g, d, l_dot_n, v_dot_n, h, n_h) matching
     Microfacet.forward (microfacet.py:20-72, L=1 squeezed).
+
+    NOTE: glossy_scale is accepted but INERT — deliberate parity with the
+    reference, which stores self.glossy_scale (microfacet.py:17) but
+    hardcodes `factor = 0.04` into the glossy lobe (microfacet.py:56) and
+    never applies the flag; wiring it here would diverge.
     """
     pts2l = _safe_norm(pts2l)
     pts2c = _safe_norm(pts2c)

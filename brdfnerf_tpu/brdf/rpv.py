@@ -56,4 +56,4 @@ def rpv_brdf(pts2l, pts2c, normal, w, k=None, theta=None, rhoc=None):
         h = jnp.ones_like(a.sza[:, None])
 
     brdf = w * m1 * f * h
-    return brdf, m1, g, h, a.ci, a.cv
+    return brdf, m1, f, g, h, a.ci, a.cv

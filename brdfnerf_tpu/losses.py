@@ -43,27 +43,42 @@ def _solar_correction_terms(d: Dict, results: Dict, typ: str, lambda_sc: float):
 
 def snerf_loss(results: Dict, targets, lambda_sc: float = 0.05,
                lambda_rgb: float = 1.0) -> Tuple[jnp.ndarray, Dict]:
-    """MSE + solar correction (metrics.py:39-61)."""
+    """MSE + solar correction (metrics.py:39-61).
+
+    The sc terms apply per typ only where the render produced them: the
+    solar-correction pass runs on the coarse pass (render.py), so a fine
+    model trains with sc on coarse only — the reference instead KeyErrors
+    / NameErrors on every fine+sc combination (rendering.py:309,
+    metrics.py:32 with no sun_sc_fine), a known-broken path fixed here.
+    """
     d = {}
     for typ in _typs(results):
         d[f"{typ}_color"] = jnp.mean((results[f"rgb_{typ}"] - targets) ** 2)
-        if lambda_sc > 0:
+        if lambda_sc > 0 and f"sun_sc_{typ}" in results:
             d = _solar_correction_terms(d, results, typ, lambda_sc)
+    # the reference scales EVERY term by lambda_rgb — sc included
+    # (metrics.py:57-58) — kept as-is
     d = {k: lambda_rgb * v for k, v in d.items()}
     return sum(d.values()), d
 
 
 def satnerf_loss(results: Dict, targets, lambda_sc: float = 0.0,
                  beta_min: float = 0.05) -> Tuple[jnp.ndarray, Dict]:
-    """Beta-uncertainty color loss (metrics.py:24-28,63-80)."""
+    """Beta-uncertainty color loss (metrics.py:24-28,63-80).
+
+    Documented deviation: the reference hardcodes beta_coarse for BOTH
+    typs (metrics.py:25), which shape-errors whenever a fine model has a
+    different sample count; here each typ uses its own beta head output.
+    """
     d = {}
     for typ in _typs(results):
+        beta_raw = results.get(f"beta_{typ}", results["beta_coarse"])
         beta = jnp.sum(results[f"weights_{typ}"][..., None]
-                       * results["beta_coarse"], axis=-2) + beta_min
+                       * beta_raw, axis=-2) + beta_min
         d[f"{typ}_color"] = jnp.mean(
             (results[f"rgb_{typ}"] - targets) ** 2 / (2 * beta ** 2))
         d[f"{typ}_logbeta"] = (3 + jnp.mean(jnp.log(beta))) / 2
-        if lambda_sc > 0:
+        if lambda_sc > 0 and f"sun_sc_{typ}" in results:
             d = _solar_correction_terms(d, results, typ, lambda_sc)
     return sum(d.values()), d
 
@@ -129,6 +144,10 @@ def normal_reg_loss(results: Dict, lambda_nr_reg: float = 0.1,
         view = jnp.repeat(view_dir, repeat, axis=0)
         n_dot_v = jnp.sum(normal * view, axis=-1)
         perc = 100.0 * jnp.mean((n_dot_v < 0).astype(jnp.float32))
+        # reference QUIRK kept (metrics.py:200): the sum runs over the
+        # FLATTENED rays*samples axis, so the term scales with batch size
+        # (the subsequent mean is a no-op on the scalar); the effective
+        # lambda is tied to batch_size exactly as in the reference
         d[f"{typ}_nr_reg_{keyword[-2:]}"] = jnp.sum(
             weights * jnp.minimum(0.0, n_dot_v) ** 2, axis=-1)
     d = {k: lambda_nr_reg * jnp.mean(v) for k, v in d.items()}
@@ -146,6 +165,10 @@ def normal_loss(weights, normal_gt, normal_pred, lambda_nr_spv: float = 0.001,
     d = {}
     typ = "coarse"
     if keyword == "an_lr":
+        # reference QUIRK kept (metrics.py:254): l1_loss(reduction='mean')
+        # collapses to a GLOBAL mean first, then multiplies the weights
+        # vector — i.e. mean(w) * mean(|diff|), NOT mean(w * |diff|);
+        # per-sample weighting is decoupled from per-sample residuals
         l1 = jnp.mean(jnp.abs(normal_gt - normal_pred))
         d[f"{typ}_nrspv_{keyword}"] = weights.reshape(-1) * l1
     else:

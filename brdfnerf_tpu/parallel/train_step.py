@@ -208,10 +208,6 @@ def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def shard_like_batch(batch):
-        return jax.tree_util.tree_map(
-            lambda x: data if getattr(x, "ndim", 0) >= 1 else repl, batch)
-
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl, repl),

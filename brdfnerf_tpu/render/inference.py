@@ -318,12 +318,17 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
                 rc = per_sample("rpv_rhoc")
             else:
                 rc = None
-            brdf, m1, g, h, ci, cv = rpv_brdf(pts2l, pts2c, nrm, alb, k, th, rc)
+            brdf, m1, f, g, h, ci, cv = rpv_brdf(pts2l, pts2c, nrm, alb, k,
+                                                 th, rc)
             ns_b = n_samples if mcfg.multi_brdf else 1
+            # diagnostic keys beyond the reference (it stores only
+            # rpv_k/theta/rhoc, spsbrdfnerf.py:376-382): every factor of
+            # brdf = w * M1 * F * H plus the hotspot distance G
             result.update(
                 brdf=brdf.reshape(n_rays, ns_b, 3),
                 rpv_M1=m1.reshape(n_rays, ns_b, -1),
-                rpv_F=g.reshape(n_rays, ns_b, -1),
+                rpv_F=f.reshape(n_rays, ns_b, -1),
+                rpv_G=g.reshape(n_rays, ns_b, -1),
                 rpv_H=h.reshape(n_rays, ns_b, -1),
                 rpv_ci=ci.reshape(n_rays, ns_b, 1),
                 rpv_cv=cv.reshape(n_rays, ns_b, 1))

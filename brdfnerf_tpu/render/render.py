@@ -69,7 +69,9 @@ def _render_one(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     net = params[typ]
 
     keys = jax.random.split(key, 8)
-    perturb = rcfg.perturb if train else rcfg.perturb  # reference keeps 1.0
+    # the reference perturbs stratified samples at EVAL too (get_z_vals
+    # always jitters when args.perturb > 0, rendering.py:149-166)
+    perturb = rcfg.perturb
     z_vals = stratified_z_vals(keys[0], rcfg.n_samples, near, far,
                                rcfg.use_disp, perturb)
 

@@ -362,13 +362,22 @@ class Trainer:
         # predefined_val_ts = 0 (main.py:416-417)
         outs: Dict[str, List[np.ndarray]] = {}
         key = jax.random.PRNGKey(0)
+        # on a mesh, chunk rays shard over the data axis (committed input
+        # shardings drive the jitted render's SPMD partitioning — the
+        # make_render_step contract); single-device otherwise
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding
+            data_sh = batch_sharding(self.mesh)
+            place = lambda a: jax.device_put(jnp.asarray(a), data_sh)
+        else:
+            place = jnp.asarray
         for i in range(0, n, chunk):
             part = rays[i:i + chunk]
             pad = chunk - part.shape[0]
             if pad > 0:
                 part = np.concatenate([part, np.tile(part[-1:], (pad, 1))], 0)
-            inp = RenderInputs(rays=jnp.asarray(part),
-                               ts=jnp.zeros(chunk, jnp.int32),
+            inp = RenderInputs(rays=place(part),
+                               ts=place(np.zeros(chunk, np.int32)),
                                cos_irra_on=jnp.asarray(
                                    self.cfg.train.cos_irra_on < 1.0))
             res = render_fn(self.state.params, inp, key)

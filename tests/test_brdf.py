@@ -39,7 +39,7 @@ def test_rpv_lambertian_limit():
     k = jnp.ones((8, 3))
     theta = jnp.zeros((8, 3))
     rhoc = jnp.ones((8, 3))
-    brdf, m1, g, h, ci, cv = rpv_brdf(l, v, n, w, k, theta, rhoc)
+    brdf, m1, f, g, h, ci, cv = rpv_brdf(l, v, n, w, k, theta, rhoc)
     np.testing.assert_allclose(np.asarray(m1), 1.0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(h), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(brdf), 0.6, atol=5e-4)

@@ -116,3 +116,49 @@ def test_hard_surface_loss_zero_for_delta():
            "depth_coarse": jnp.asarray([1.0, 1.0])}
     loss, _ = L.hard_surface_loss(res, lambda_hs=1.0)
     assert float(loss) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_snerf_sc_with_fine_model_no_keyerror():
+    """Fine model + solar correction: the sc pass only runs on the coarse
+    pass, so the loss must apply sc terms per-typ where the keys exist
+    instead of KeyError'ing on sun_sc_fine (the reference crashes on every
+    fine+sc combination, rendering.py:309 / metrics.py:32)."""
+    n, s, s_f = 4, 3, 5
+    rng = np.random.default_rng(1)
+    res = _results(n, s, key_extra={
+        "sun_sc_coarse": jnp.asarray(
+            rng.uniform(0, 1, (n, s, 1)).astype(np.float32)),
+        "transparency_sc_coarse": jnp.asarray(
+            rng.uniform(0, 1, (n, s)).astype(np.float32)),
+        "weights_sc_coarse": jnp.asarray(
+            rng.uniform(0, 1, (n, s)).astype(np.float32)),
+        "rgb_fine": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        "weights_fine": jnp.asarray(
+            rng.uniform(0, 1, (n, s_f)).astype(np.float32)),
+    })
+    targets = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    loss, d = L.snerf_loss(res, targets, lambda_sc=0.05)
+    assert np.isfinite(float(loss))
+    assert "coarse_sc_term2" in d and "fine_sc_term2" not in d
+    assert "fine_color" in d
+
+
+def test_satnerf_fine_uses_its_own_beta():
+    """Documented deviation: beta_{typ} per pass (the reference reuses
+    beta_coarse for the fine typ and shape-errors when sample counts
+    differ, metrics.py:25)."""
+    n, s, s_f = 4, 3, 5
+    rng = np.random.default_rng(2)
+    res = _results(n, s, key_extra={
+        "beta_coarse": jnp.asarray(
+            rng.uniform(0.1, 1, (n, s, 1)).astype(np.float32)),
+        "rgb_fine": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        "weights_fine": jnp.asarray(
+            rng.uniform(0, 1, (n, s_f)).astype(np.float32)),
+        "beta_fine": jnp.asarray(
+            rng.uniform(0.1, 1, (n, s_f, 1)).astype(np.float32)),
+    })
+    targets = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    loss, d = L.satnerf_loss(res, targets)
+    assert np.isfinite(float(loss))
+    assert "fine_color" in d and "fine_logbeta" in d
