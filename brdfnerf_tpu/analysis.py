@@ -35,6 +35,17 @@ def view_dir_fan(sun_d: np.ndarray, n: int = 33,
     return dirs.astype(np.float32)
 
 
+_PROBE_FNS: Dict = {}
+
+
+def _probe_render_fn(mcfg: ModelConfig, rcfg: RenderConfig):
+    key = (mcfg, rcfg)
+    if key not in _PROBE_FNS:
+        _PROBE_FNS[key] = jax.jit(
+            lambda p, i, k: render_rays(p, mcfg, rcfg, i, k))
+    return _PROBE_FNS[key]
+
+
 def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
               ray: np.ndarray, n_views: int = 33,
               max_zen_deg: float = 60.0,
@@ -51,11 +62,15 @@ def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     sun_d = ray[8:11]
     views = view_dir_fan(sun_d, n_views, max_zen_deg)
 
+    # one cached jitted render per (mcfg, rcfg): probing several pixels
+    # reuses the compiled program instead of paying two fresh XLA
+    # compilations per call (fresh jit(lambda) caches can never hit)
+    render_fn = _probe_render_fn(mcfg, rcfg)
+
     # surface point from the pixel's own ray
     inp0 = RenderInputs(rays=jnp.asarray(ray[None]),
                         cos_irra_on=jnp.asarray(False))
-    res0 = jax.jit(lambda p, i, k: render_rays(p, mcfg, rcfg, i, k))(
-        params, inp0, key)
+    res0 = render_fn(params, inp0, key)
     depth = float(np.asarray(res0["depth_coarse"])[0])
     surf = ray[0:3] + depth * ray[3:6]
 
@@ -75,14 +90,21 @@ def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
 
     inp = RenderInputs(rays=jnp.asarray(rays_v),
                        cos_irra_on=jnp.asarray(False))
-    res = jax.jit(lambda p, i, k: render_rays(p, mcfg, rcfg, i, k))(
-        params, inp, key)
+    res = render_fn(params, inp, key)
 
     zen_signed = np.linspace(-max_zen_deg, max_zen_deg, n_views)
     out = {"view_zenith_deg": zen_signed,
            "rgb": np.asarray(res["rgb_coarse"])}
     if "brdf_coarse" in res:
-        out["brf"] = np.asarray(res["brdf_coarse"])[:, -1, :]
+        brdf = np.asarray(res["brdf_coarse"])      # (n, ns_b, 3)
+        if brdf.shape[1] > 1:
+            # multi_brdf: per-sample BRDF — accumulate with the sample
+            # weights to get the SURFACE reflectance; the last sample
+            # would be the deepest point below the surface, not it
+            w = np.asarray(res["weights_coarse"])[..., None]
+            out["brf"] = np.sum(w * brdf, axis=1)
+        else:
+            out["brf"] = brdf[:, -1, :]
     if "albedo_accu_coarse" in res:
         out["albedo"] = np.asarray(res["albedo_accu_coarse"])
     return out

@@ -33,7 +33,7 @@ def main(argv=None):
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
     from ..analysis import brf_probe
-    from ..data.satellite import SatelliteConfig, SatelliteDataset
+    from ..data.satellite import SatelliteDataset
 
     ropts = opts_mod.load_opts(args.logs_dir)
     cfg = opts_mod.to_run_config(ropts)
@@ -41,12 +41,7 @@ def main(argv=None):
         args.logs_dir, f"brf_epoch{args.epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    sat_cfg = SatelliteConfig(
-        root_dir=ropts.root_dir, img_dir=ropts.img_dir,
-        depth_subdir=ropts.inputdds, aoi_id=ropts.aoi_id, cs=ropts.cs,
-        img_downscale=ropts.img_downscale, scale=ropts.scale,
-        mod_alt_bound=ropts.mod_alt_bound,
-        load_depth=(ropts.model in ("sps-nerf", "spsbrdf-nerf")))
+    sat_cfg = opts_mod.sat_config_from_opts(ropts)
     ds = SatelliteDataset(sat_cfg, split="val")
     s = ds.get_image(args.image_idx)
     h, w = s["h"], s["w"]

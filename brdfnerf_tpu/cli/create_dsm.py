@@ -50,7 +50,7 @@ def main(argv=None):
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
     from ..geo import dsm as dsm_mod
-    from ..data.satellite import SatelliteConfig, SatelliteDataset
+    from ..data.satellite import SatelliteDataset
 
     ropts = opts_mod.load_opts(args.logs_dir)
     cfg = opts_mod.to_run_config(ropts)
@@ -58,12 +58,7 @@ def main(argv=None):
         args.logs_dir, f"dsm_epoch{args.epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    sat_cfg = SatelliteConfig(
-        root_dir=ropts.root_dir, img_dir=ropts.img_dir,
-        depth_subdir=ropts.inputdds, aoi_id=ropts.aoi_id, cs=ropts.cs,
-        img_downscale=ropts.img_downscale, scale=ropts.scale,
-        mod_alt_bound=ropts.mod_alt_bound,
-        load_depth=(ropts.model in ("sps-nerf", "spsbrdf-nerf")))
+    sat_cfg = opts_mod.sat_config_from_opts(ropts)
     val_ds = SatelliteDataset(sat_cfg, split="val")
 
     ckpt_path = ckpt.resolve_epoch_ckpt(
@@ -83,7 +78,8 @@ def main(argv=None):
     roi = (dsm_mod.load_roi(ropts.gt_dir, ropts.aoi_id)
            if ropts.gt_dir else None)
     dsm, prof = dsm_mod.dsm_from_depth(
-        rays, out["depth_coarse"], val_ds.scene, cs=val_ds.cfg.cs,
+        rays, out.get("depth_fine", out["depth_coarse"]),
+        val_ds.scene, cs=val_ds.cfg.cs,
         utm_zone=val_ds.utm_zone,
         resolution=(float(roi[3]) if roi is not None else 0.5),
         dsm_path=os.path.join(out_dir, f"{s['src_id']}_dsm.tif"))

@@ -40,21 +40,14 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
     ds_split = "train_render" if split == "train" else "val"
     if args.data == "blender":
         from ..data.blender import BlenderDataset
-        val_ds = BlenderDataset(args.root_dir, split="val",
-                                img_wh=tuple(args.img_wh))
+        val_ds = BlenderDataset(
+            args.root_dir,
+            split=("train" if split == "train" else "val"),
+            img_wh=tuple(args.img_wh))
         store = None
     else:
-        from ..data.satellite import SatelliteConfig, SatelliteDataset
-        sat_cfg = SatelliteConfig(
-            root_dir=args.root_dir, img_dir=args.img_dir,
-            depth_subdir=args.inputdds, aoi_id=args.aoi_id, cs=args.cs,
-            img_downscale=args.img_downscale, scale=args.scale,
-            corrscale=args.corrscale, stdscale=args.stdscale,
-            margin=args.margin, mod_alt_bound=args.mod_alt_bound,
-            infile_postfix=args.infile_postfix,
-            cache_dir=args.cache_dir,
-            std_quirk=bool(getattr(args, "std_quirk", 1)),
-            load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))
+        from ..data.satellite import SatelliteDataset
+        sat_cfg = opts_mod.sat_config_from_opts(args)
         val_ds = SatelliteDataset(sat_cfg, split=ds_split)
         store = None
 
@@ -78,7 +71,8 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
         s = val_ds.get_image(idx)
         out = tr.render_image(s)
         h, w = s["h"], s["w"]
-        rgb = out["rgb_coarse"].reshape(h, w, 3)
+        # score the fine pass when a fine model exists (reference eval typ)
+        rgb = out.get("rgb_fine", out["rgb_coarse"]).reshape(h, w, 3)
         gt = s["rgbs"].reshape(h, w, 3)
         mask = s.get("mask")
         mval = jnp.asarray(mask.reshape(h, w, 1)) if mask is not None else None
@@ -104,7 +98,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
         write_geotiff(os.path.join(out_dir, f"{src}_rgb.tif"),
                       (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
                       .transpose(2, 0, 1), GeoProfile())
-        depth = out["depth_coarse"]
+        depth = out.get("depth_fine", out["depth_coarse"])
         write_geotiff(os.path.join(out_dir, f"{src}_depth.tif"),
                       depth.reshape(1, h, w).astype(np.float32), GeoProfile())
         scene = getattr(val_ds, "scene", None)

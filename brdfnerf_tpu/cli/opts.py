@@ -275,3 +275,21 @@ def load_opts(run_dir: str) -> argparse.Namespace:
     """eval.py:228-229: reload opts.json as the config source of truth."""
     with open(os.path.join(run_dir, "opts.json")) as f:
         return argparse.Namespace(**json.load(f))
+
+
+def sat_config_from_opts(args: argparse.Namespace):
+    """SatelliteConfig from a run's (re)loaded opts — ONE place for the
+    dataset-affecting fields so eval / create_dsm / brf_probe rebuild the
+    exact dataset the run trained on (a subset here once silently dropped
+    infile_postfix, probing a different split than was trained)."""
+    from ..data.satellite import SatelliteConfig
+    return SatelliteConfig(
+        root_dir=args.root_dir, img_dir=args.img_dir,
+        depth_subdir=args.inputdds, aoi_id=args.aoi_id, cs=args.cs,
+        img_downscale=args.img_downscale, scale=args.scale,
+        corrscale=args.corrscale, stdscale=args.stdscale,
+        margin=args.margin, mod_alt_bound=args.mod_alt_bound,
+        infile_postfix=args.infile_postfix,
+        cache_dir=args.cache_dir,
+        std_quirk=bool(getattr(args, "std_quirk", 1)),
+        load_depth=(args.model in ("sps-nerf", "spsbrdf-nerf")))

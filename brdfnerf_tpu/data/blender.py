@@ -142,6 +142,9 @@ class BlenderDataset:
         rgb, mask = _load_image(path, self.img_wh)
         rays = self._frame_rays(frame)
         w, h = self.img_wh
-        return {"rays": rays, "rgbs": rgb, "valid_mask": mask,
+        # "mask" is the key every metric consumer reads (train.validate /
+        # cli.eval do s.get("mask")), so blender PSNR is alpha-masked like
+        # the satellite path
+        return {"rays": rays, "rgbs": rgb, "mask": mask,
                 "ts": np.zeros(rays.shape[0], np.int32),
                 "src_id": frame["file_path"], "h": h, "w": w, "idx": idx}

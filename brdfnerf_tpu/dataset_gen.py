@@ -55,6 +55,10 @@ def create_image_json(img_path: str, rpc_dict: Dict, sun_elevation: float,
         dsm = dsm_arr[0][np.isfinite(dsm_arr[0])]
         min_alt = int(np.round(dsm.min() - 1)) if min_alt is None else min_alt
         max_alt = int(np.round(dsm.max() + 1)) if max_alt is None else max_alt
+    if min_alt is None or max_alt is None:
+        raise ValueError(
+            "create_image_json needs the scene altitude bounds: pass "
+            "min_alt/max_alt explicitly or dsm_path to derive them")
     rpc = rpc_mod.rpc_from_dict(rpc_dict)
     d = {
         "img": os.path.basename(img_path),
@@ -87,6 +91,22 @@ def load_sun_angle_table(path: str) -> Dict[str, Tuple[float, float]]:
     for row in rows:
         table[row[0]] = (float(row[1]), float(row[2]))
     return table
+
+
+def _lookup_sun_angles(table: Optional[Dict], img_id: str,
+                       default=(45.0, 180.0)) -> Tuple[float, float]:
+    """Sun angles for an image id: exact key first, then SUBSTRING match —
+    the reference's pleiades_sun_angles.txt rows carry substrings of the
+    image names (generate_dataset.py:117-141), so an exact .get() would
+    silently hand every image the default geometry."""
+    if not table:
+        return default
+    if img_id in table:
+        return table[img_id]
+    for key, val in table.items():
+        if key in img_id:
+            return val
+    return default
 
 
 def _points_in_polygon(px: np.ndarray, py: np.ndarray,
@@ -346,8 +366,7 @@ def crop_image_patches(aoi_id: str, dsm_dir: str, images: Sequence[Tuple],
             scld = scale_img(crop).astype(np.uint8)
         scld_path = os.path.join(scled_dir, name)
         write_geotiff(scld_path, scld, new_prof)
-        sun = (sun_angles or {}).get(
-            os.path.splitext(name)[0], (45.0, 180.0))
+        sun = _lookup_sun_angles(sun_angles, os.path.splitext(name)[0])
         json_paths.append(create_image_json(
             scld_path, rpc_adj, sun[0], sun[1], root_dir,
             min_alt=min_alt, max_alt=max_alt))

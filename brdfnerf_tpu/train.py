@@ -399,7 +399,11 @@ class Trainer:
         return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
 
     # per-ray result keys fetched verbatim by render_image
-    PER_RAY_KEYS = ("rgb_coarse", "depth_coarse", "albedo_accu_coarse")
+    # fine-model outputs are harvested too (guarded by `in res`): metric
+    # consumers score the FINE pass when n_importance > 0, like the
+    # reference eval (typ = 'fine' if present)
+    PER_RAY_KEYS = ("rgb_coarse", "depth_coarse", "albedo_accu_coarse",
+                    "rgb_fine", "depth_fine")
     # per-sample (N, S, C) fields reduced to per-ray panel maps: weighted
     # sum along samples ('wsum') or plain mean ('mean', irradiance —
     # main.py:446-449 averages it)
@@ -452,7 +456,7 @@ class Trainer:
                     self._save_cross_section(s, epoch)
                 except Exception as e:
                     print(f"[val] cross-section dump failed: {e}")
-            rgb = out["rgb_coarse"].reshape(h, w, 3)
+            rgb = out.get("rgb_fine", out["rgb_coarse"]).reshape(h, w, 3)
             gt = s["rgbs"].reshape(h, w, 3)
             mask = s.get("mask")
             mval = (jnp.asarray(mask.reshape(h, w, 1))
@@ -463,7 +467,7 @@ class Trainer:
             scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv}
             rep = None
             if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
-                depth = out["depth_coarse"]
+                depth = out.get("depth_fine", out["depth_coarse"])
                 roi = dsm_mod.load_roi(self.paths.gt_dir, self.paths.aoi_id)
                 dsm, prof = dsm_mod.dsm_from_depth(
                     s["rays"], depth, ds.scene, cs=ds.cfg.cs,

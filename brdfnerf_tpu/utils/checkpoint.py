@@ -87,7 +87,7 @@ def restore_params(template: Any, path: str,
     flat_t = _flatten(template)
     flat_c = load_flat(path)
     params = jax.tree_util.tree_map(lambda x: x, template)  # shallow copy
-    restored = 0
+    restored_keys = set()
     for key, val in flat_c.items():
         if key.startswith("__"):
             continue
@@ -102,9 +102,20 @@ def restore_params(template: Any, path: str,
             raise ValueError(
                 f"shape mismatch for {key}: {flat_t[key].shape} vs {val.shape}")
         _set_path(params, key.split(SEP), val.astype(flat_t[key].dtype))
-        restored += 1
-    if restored == 0:
+        restored_keys.add(key)
+    if not restored_keys:
         raise ValueError(f"nothing restored from {path} (include={include})")
+    if strict and include is None:
+        # a FULL restore must cover every template parameter — silently
+        # keeping random-init values for heads absent from the checkpoint
+        # (e.g. loading a stage-1 Lambertian ckpt into a BRDF config
+        # without the handoff include list) would score garbage metrics
+        missing = [k for k in flat_t if k not in restored_keys]
+        if missing:
+            raise ValueError(
+                f"{path} is missing {len(missing)} parameters of this "
+                f"model config (e.g. {missing[:3]}); use the handoff "
+                f"include filter for partial restores")
     return params
 
 

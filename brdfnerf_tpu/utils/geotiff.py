@@ -18,6 +18,7 @@ API (shapes follow rasterio conventions):
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass
@@ -200,7 +201,12 @@ def _pack_entry(endian, tag, typ, vals, heap, heap_base):
 
 def write_geotiff(path: str, array: np.ndarray, profile: GeoProfile = None,
                   nodata: Optional[float] = None):
-    """Write (bands, H, W) or (H, W) array as an uncompressed GeoTIFF."""
+    """Write (bands, H, W) or (H, W) array as an uncompressed GeoTIFF.
+    Parent directories are created (src ids may carry path separators,
+    e.g. blender frame file_paths like './val/r_0')."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]

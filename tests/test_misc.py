@@ -51,7 +51,7 @@ def test_blender_dataset(tmp_path):
     assert (s["rays"][:, 6] == 2.0).all() and (s["rays"][:, 7] == 6.0).all()
     # white background: alpha=0 pixels are exactly white
     img = ds.get_image(0)
-    transparent = ~img["valid_mask"]
+    transparent = ~img["mask"]
     assert transparent.any()
     np.testing.assert_allclose(img["rgbs"][transparent], 1.0, atol=1e-6)
 

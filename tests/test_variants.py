@@ -63,6 +63,12 @@ def test_nerf_with_fine_model(store, tmp_path):
                     TrainConfig(lr=1e-3, batch_size=256, max_train_steps=40),
                     tmp_path)
     assert "fine" in tr.state.params
+    # render_image harvests the fine outputs so eval scores the fine
+    # model (the reference eval's typ), not the coarse one
+    n = 16
+    out = tr.render_image({"rays": np.asarray(store["rays"][:n]),
+                           "h": 4, "w": 4})
+    assert "rgb_fine" in out and "depth_fine" in out
 
 
 def test_snerf_solar_correction(store, tmp_path):
