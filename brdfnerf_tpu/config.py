@@ -81,8 +81,10 @@ class ModelConfig:
 
     @property
     def rpv(self) -> bool:
-        """RPV active if any of its sub-functions is on (spsbrdfnerf.py:468)."""
-        return bool(self.func_m or self.func_f or self.func_h)
+        """RPV active if any of its sub-functions is on.  The reference
+        compares each flag `== True` (spsbrdfnerf.py:468), so funcH=2
+        ('rhoc := albedo') does NOT by itself activate the RPV branch."""
+        return bool(self.func_m or self.func_f or self.func_h == 1)
 
     @property
     def uses_hapke(self) -> bool:

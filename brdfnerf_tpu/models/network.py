@@ -159,7 +159,9 @@ def init_network(key, cfg: ModelConfig) -> Dict:
         params["k_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
     if cfg.func_f:
         params["theta_rpv_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
-    if cfg.func_h:
+    if cfg.func_h == 1:
+        # funcH == 2 means rhoc := albedo — the reference creates NO rhoc
+        # head for it (spsbrdfnerf.py:596 gates on funcH == True)
         params["rhoc_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, cfg.dim_rpv])
     if cfg.hapke_b:
         params["b_from_xyz"] = _init_mlp(next(keys), [feat, feat // 2, 1])
@@ -221,15 +223,11 @@ def _head(params, cfg: ModelConfig, name, x, final=None, act_relu=False):
 
 
 def _sun_v_head(params, cfg: ModelConfig, feats, sun_d):
-    """sun_v_net: first activation is Siren(w0=1) when siren (snerf.py:126-131)."""
+    """sun_v_net on concat([feats, sun_d]); hidden activations are the
+    model activation at w0=1 when siren (snerf.py:126-131) — exactly
+    _head's layer loop with a sigmoid final."""
     x = jnp.concatenate([feats, sun_d], axis=-1)
-    layers = params["sun_v_net"]
-    h = x
-    for i, layer in enumerate(layers):
-        h = _linear(layer, h, cfg.compute_dtype)
-        if i < len(layers) - 1:
-            h = _act(cfg, h, first=False)
-    return jax.nn.sigmoid(h).astype(jnp.float32)
+    return _head(params, cfg, "sun_v_net", x, final="sigmoid")
 
 
 def sigma_fn(params, cfg: ModelConfig, xyz):
@@ -386,7 +384,7 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
     # the op-count saving), so rgb stays separate.
     rpv_names = ("k_from_xyz", "theta_rpv_from_xyz", "rhoc_from_xyz")
     merged_rpv = (apply_brdf and cfg.rpv and cfg.func_m and cfg.func_f
-                  and cfg.func_h
+                  and cfg.func_h == 1
                   and all(len(params.get(n, ())) == 2 for n in rpv_names))
 
     if "sun_v_net" in params and sun_d is not None:
@@ -419,7 +417,7 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
                 if cfg.func_f:
                     th = _head(params, cfg, "theta_rpv_from_xyz",
                                xyz_features, final="sigmoid")
-                if cfg.func_h:
+                if cfg.func_h == 1:
                     rc = _head(params, cfg, "rhoc_from_xyz", xyz_features,
                                final="sigmoid")
             if k is not None:

@@ -26,6 +26,7 @@ from functools import lru_cache
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -60,7 +61,15 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int,
     if n_freqs == 0:
         return x
     p, phase = _proj_and_phase(n_freqs, x.shape[-1])
-    m = x @ jnp.asarray(p, x.dtype) + jnp.asarray(phase, x.dtype)
+    # precision='highest': the widening matmul must NOT round x to bf16
+    # (TPU default matmul precision) — a 2e-3 coordinate rounding becomes
+    # a ~1 rad phase error at the 2^9 band, staircasing the
+    # high-frequency features at the bf16 grid.  The reference's
+    # per-band 2^f * x scaling is exact in f32 (power-of-two products).
+    m = jax.lax.dot_general(
+        x, jnp.asarray(p, x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST) + jnp.asarray(phase, x.dtype)
     if fast:
         from .fast_math import fast_sin
         return fast_sin(m)

@@ -518,7 +518,12 @@ def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
     if cfg.mapping:
         p, phase = _proj_and_phase(cfg.mapping_sizes[0], xyz.shape[-1])
         pm = jnp.asarray(p)
-        m = xyz @ pm + jnp.asarray(phase)
+        # precision='highest': see ops/encoding.py — the default TPU
+        # matmul precision would round xyz to bf16 and staircase the
+        # high-frequency bands (and the cos(m) gradient jacobian with them)
+        m = jax.lax.dot_general(
+            xyz, pm, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST) + jnp.asarray(phase)
         # sin/cos via the trunk's polynomial when fast_sin (the encoding
         # is sine-bound — the K=3 matmul is tiny); _act_all at w0=1 gives
         # (sin m, cos m).  NOTE: moving this INTO the kernels was tried

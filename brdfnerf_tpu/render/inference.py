@@ -336,7 +336,7 @@ def inference_spsbrdf(params, mcfg: ModelConfig, rcfg: RenderConfig,
                 result["rpv_k"] = out["rpv_k"].reshape(n_rays, n_samples, 3)
             if mcfg.func_f:
                 result["rpv_theta"] = out["rpv_theta"].reshape(n_rays, n_samples, 3)
-            if mcfg.func_h:
+            if mcfg.func_h == 1:
                 result["rpv_rhoc"] = out["rpv_rhoc"].reshape(n_rays, n_samples, 3)
         elif mcfg.uses_hapke:
             b = c = theta = None
