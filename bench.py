@@ -2,11 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measurement notes: the TPU is reached through a tunnel whose latency varies
-run to run, so each step is synced individually (the loss scalar is
-fetched) and the reported value uses the MINIMUM per-step time over ITERS
-iterations — the best-observed steady-state throughput of the chip itself,
-robust to relay congestion.
+Measurement notes: the TPU is reached through a tunnel whose latency
+varies run to run, so timing runs SCAN_STEPS full optimizer steps inside
+one jitted lax.scan (the per-call tunnel round trip amortizes over the
+scan) and reports the minimum per-step mean over 3 timed scans — the
+best-observed steady-state throughput of the chip, robust to relay
+congestion.  The scan result is fully fetched each time
+(block_until_ready proved unreliable through the tunnel).
 
 The reference publishes no throughput numbers (SURVEY.md 6).  BASELINE.md
 records the canonical workload — batch 1024 rays, 64 stratified + 64
@@ -42,9 +44,6 @@ REFERENCE_RAYS_PER_SEC = 4000.0   # documented proxy, see module docstring
 BATCH = 1024          # opt.py:158
 N_SAMPLES = 64        # opt.py:176
 GUIDED = 64           # opt.py:217
-WARMUP = 3
-ITERS = 25
-
 
 SCAN_STEPS = 30       # device-side steps per timed call
 

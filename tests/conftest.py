@@ -10,13 +10,20 @@ jax for real work).
 """
 
 import os
+import re
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# an inherited XLA_FLAGS with a SMALLER device count (another harness, CI
+# leakage) would otherwise silently skip every sharding test via their
+# device-count skipif marks — jax_num_cpu_devices overrides the flag
+m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+              os.environ["XLA_FLAGS"])
+if m and int(m.group(1)) < 8:
+    jax.config.update("jax_num_cpu_devices", 8)

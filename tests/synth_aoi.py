@@ -24,8 +24,9 @@ ZONE = 31
 
 
 def affine_rpc_dict(dlon_dalt=0.0, dlat_dalt=0.0):
-    """col = 16 + 3200*nlon + a13*nalt ..., denominators 1.  The nalt terms
-    tilt the view direction away from nadir (different per image)."""
+    """col = 16 + 16*nlon + a13*nalt ... (col_scale = W/2 = 16),
+    denominators 1.  The nalt terms tilt the view direction away from
+    nadir (different per image)."""
     col_num = [0.0] * 20
     col_num[1] = 1.0            # nlon
     col_num[3] = dlon_dalt      # nalt cross-talk -> oblique view
@@ -94,18 +95,20 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     names = []
     # shared bundle-adjustment tie points on the terrain (ECEF, the BA
     # convention): a coarse grid in the common footprint
-    kp_c, kp_r = np.meshgrid(np.arange(4, W - 4, 4), np.arange(4, H - 4, 4))
-    kp_lon, kp_lat = localize_affine(affine_rpc_dict(), kp_c.ravel(),
-                                     kp_r.ravel(), ALT0)
-    kp_ecef = np.stack(latlon_to_ecef(kp_lat, kp_lon,
-                                      np.full_like(kp_lat, ALT0)), -1)
+    kp_lon = kp_lat = None
     if with_keypoints:
+        kp_c, kp_r = np.meshgrid(np.arange(4, W - 4, 4),
+                                 np.arange(4, H - 4, 4))
+        kp_lon, kp_lat = localize_affine(affine_rpc_dict(), kp_c.ravel(),
+                                         kp_r.ravel(), ALT0)
+        kp_ecef = np.stack(latlon_to_ecef(kp_lat, kp_lon,
+                                          np.full_like(kp_lat, ALT0)), -1)
         np.save(os.path.join(root, "pts3d.npy"), kp_ecef)
     for i in range(n_train + n_test):
         rpc_d = affine_rpc_dict(*tilts[i % len(tilts)])
         img_name = f"img_{i:02d}.tif"
         cols, rows = np.meshgrid(np.arange(W), np.arange(H))
-        lon, lat, _ = intersect_terrain(rpc_d, cols, rows, bumpy)
+        lon, lat, alt = intersect_terrain(rpc_d, cols, rows, bumpy)
         tex = ground_texture(lon, lat)
         rgb = np.stack([tex, tex, tex]).astype(np.float32)
         rgb8 = (rgb * 255).astype(np.uint8)
@@ -130,9 +133,9 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
         names.append(jname)
 
         # MicMac depth triplet: dense (every pixel) on the terrain surface
-        sel_c, sel_r = np.meshgrid(np.arange(0, W), np.arange(0, H))
-        sel_c, sel_r = sel_c.ravel(), sel_r.ravel()
-        lon_s, lat_s, alt_s = intersect_terrain(rpc_d, sel_c, sel_r, bumpy)
+        # — the SAME grid intersection already computed for the texture
+        sel_c, sel_r = cols.ravel(), rows.ravel()
+        lon_s, lat_s, alt_s = lon.ravel(), lat.ravel(), alt.ravel()
         e, n = utm_from_latlon(lat_s, lon_s, zone=ZONE)
         pts3d = np.stack([e, n, alt_s], -1)
         img_id = f"img_{i:02d}"
