@@ -27,3 +27,34 @@ m = re.search(r"xla_force_host_platform_device_count=(\d+)",
               os.environ["XLA_FLAGS"])
 if m and int(m.group(1)) < 8:
     jax.config.update("jax_num_cpu_devices", 8)
+
+
+def stub_reference_deps():
+    """Install empty stand-ins for the reference repo's native deps that
+    are absent here (rasterio/rpcm/utm/torchvision), so its pure-math
+    modules import.  Returns the names actually stubbed so callers can
+    remove them at teardown (a leftover stub would make a later
+    `pytest.importorskip('utm')` succeed and then AttributeError)."""
+    import sys
+    import types
+    stubbed = []
+    for name in ("rasterio", "rpcm", "utm", "torchvision",
+                 "torchvision.transforms"):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            stubbed.append(name)
+            if "." in name:
+                parent, child = name.rsplit(".", 1)
+                setattr(sys.modules[parent], child, mod)
+    return stubbed
+
+
+def unstub_reference_deps(stubbed):
+    import sys
+    for name in stubbed:
+        sys.modules.pop(name, None)

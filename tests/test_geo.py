@@ -15,12 +15,14 @@ def test_ecef_latlon_roundtrip():
     lats = np.asarray([0.0, 45.0, -33.5, 48.8462])
     lons = np.asarray([0.0, 2.35, 151.2, 2.3464])
     alts = np.asarray([0.0, 100.0, 1500.0, 35.0])
-    x, y, z = latlon_to_ecef(jnp.asarray(lats), jnp.asarray(lons),
-                             jnp.asarray(alts))
+    # float64 NumPy inputs: these are the HOST-side geodesy functions
+    # whose documented contract is f64 (|ECEF| ~ 6.4e6 m exceeds f32
+    # precision); jnp inputs would downcast and test the wrong regime
+    x, y, z = latlon_to_ecef(lats, lons, alts)
     la, lo, al = ecef_to_latlon(x, y, z)
-    np.testing.assert_allclose(np.asarray(la), lats, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(lo), lons, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(al), alts, atol=1.0)
+    np.testing.assert_allclose(np.asarray(la), lats, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lo), lons, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(al), alts, atol=1e-4)
 
 
 def test_ecef_known_point():

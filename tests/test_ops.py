@@ -125,12 +125,14 @@ def test_l2_normalize_unit_and_safe_at_zero():
 
 
 def test_fast_sin_accuracy():
-    """Polynomial sine: max abs error < 2e-5 over a wide input range."""
+    """Polynomial sine: max abs error < 2.2e-5 over a wide input range
+    (the minimax polynomial's 1.7e-5 on the reduced range plus f32
+    range-reduction rounding at |x| ~ 100; measured max 2.008e-5)."""
     from brdfnerf_tpu.ops.fast_math import fast_sin
     x = jnp.asarray(np.random.RandomState(0).randn(100000) * 40,
                     dtype=jnp.float32)
     err = np.abs(np.asarray(fast_sin(x)) - np.sin(np.asarray(x, np.float64)))
-    assert err.max() < 3e-5, err.max()
+    assert err.max() < 2.2e-5, err.max()
     # derivative approximates cos
     import jax
     g = jax.vmap(jax.grad(lambda v: fast_sin(v)))(x[:1000])

@@ -20,36 +20,43 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+
+
+def _have_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and _have_torch()),
+    reason="reference repo not mounted or torch unavailable")
 
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import reference modules with missing native deps stubbed."""
-    for name in ("rasterio", "rpcm", "utm", "torchvision",
-                 "torchvision.transforms"):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-            except ImportError:
-                mod = types.ModuleType(name)
-                sys.modules[name] = mod
-                if "." in name:
-                    parent, child = name.rsplit(".", 1)
-                    setattr(sys.modules[parent], child, mod)
+    """Import reference modules with missing native deps stubbed (the
+    stubs are removed at teardown so they can't shadow real imports in
+    later-collected tests)."""
+    from conftest import stub_reference_deps, unstub_reference_deps
+    stubbed = stub_reference_deps()
     sys.path.insert(0, REF)
-    import torch
-    torch.manual_seed(0)
-    import BRDF.basic_func as basic_func
-    import BRDF.RPV as RPV
-    import BRDF.Hapke as Hapke
-    import BRDF.microfacet as microfacet
-    import models.nerf as ref_nerf
-    yield types.SimpleNamespace(
-        torch=torch, basic_func=basic_func, RPV=RPV, Hapke=Hapke,
-        microfacet=microfacet, nerf=ref_nerf)
-    sys.path.remove(REF)
+    try:
+        import torch
+        torch.manual_seed(0)
+        import BRDF.basic_func as basic_func
+        import BRDF.RPV as RPV
+        import BRDF.Hapke as Hapke
+        import BRDF.microfacet as microfacet
+        import models.nerf as ref_nerf
+        yield types.SimpleNamespace(
+            torch=torch, basic_func=basic_func, RPV=RPV, Hapke=Hapke,
+            microfacet=microfacet, nerf=ref_nerf)
+    finally:
+        sys.path.remove(REF)
+        unstub_reference_deps(stubbed)
 
 
 def _geometry(n=256, seed=0):

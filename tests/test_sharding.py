@@ -136,8 +136,6 @@ def test_sharded_render_matches_single_device():
 
 def test_trainer_with_mesh(tmp_path):
     """Trainer drives the sharded step end-to-end over the 8-device mesh."""
-    import sys, os
-    sys.path.insert(0, os.path.dirname(__file__))
     from synth_aoi import build_aoi
     from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
     from brdfnerf_tpu.config import RunConfig, TrainConfig

@@ -35,17 +35,8 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_model_and_ckpt(tmp_path_factory):
-    for name in ("rasterio", "rpcm", "utm", "torchvision",
-                 "torchvision.transforms"):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-            except ImportError:
-                mod = types.ModuleType(name)
-                sys.modules[name] = mod
-                if "." in name:
-                    parent, child = name.rsplit(".", 1)
-                    setattr(sys.modules[parent], child, mod)
+    from conftest import stub_reference_deps, unstub_reference_deps
+    stubbed = stub_reference_deps()
     sys.path.insert(0, REF)
     try:
         import importlib
@@ -72,6 +63,7 @@ def ref_model_and_ckpt(tmp_path_factory):
         yield model, ckpt_path
     finally:
         sys.path.remove(REF)
+        unstub_reference_deps(stubbed)
 
 
 def test_reference_ckpt_roundtrip(ref_model_and_ckpt):
