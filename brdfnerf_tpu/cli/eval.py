@@ -21,8 +21,24 @@ import numpy as np
 from . import opts as opts_mod
 
 
+def find_best_t_for_val_image(tr, sample, psnr_fn, n_vocab: int):
+    """Best-PSNR transient-embedding search (eval.py:184-199): render the
+    image once per vocab index, score unmasked PSNR, keep the argmax."""
+    import jax.numpy as jnp
+    gt = jnp.asarray(sample["rgbs"].reshape(-1, 3))
+    best_t, best_psnr = 0, -float("inf")
+    for t in range(n_vocab):
+        out = tr.render_image(sample, t=t)
+        rgb = jnp.asarray(out.get("rgb_fine", out["rgb_coarse"]))
+        p = float(psnr_fn(rgb.reshape(-1, 3), gt))
+        if p > best_psnr:
+            best_t, best_psnr = t, p
+    return best_t, best_psnr
+
+
 def evaluate(run_dir: str, epoch_number: int, split: str = "val",
-             checkpoints_dir: str = None, output_dir: str = None) -> Dict:
+             checkpoints_dir: str = None, output_dir: str = None,
+             find_best_t: bool = False) -> Dict:
     import jax.numpy as jnp
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
@@ -67,23 +83,37 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
     tr.state = tr.state._replace(params=params)
 
     psnrs, ssims, maes, maes_nr = [], [], [], []
+    # best-PSNR embedding bookkeeping only applies to models that carry a
+    # transient t embedding (param 't' from embedding_t, main.py:115)
+    search_t = find_best_t and "t" in tr.state.params
     for idx in range(len(val_ds)):
         s = val_ds.get_image(idx)
-        out = tr.render_image(s)
+        t_idx = 0
+        if search_t:
+            t_idx, best_p = find_best_t_for_val_image(
+                tr, s, psnr_m, int(getattr(args, "t_embbeding_vocab", 30)))
+            print(f"[eval] best t for image {idx}: {t_idx} "
+                  f"(psnr {best_p:.2f})")
+        out = tr.render_image(s, t=t_idx)
         h, w = s["h"], s["w"]
         # score the fine pass when a fine model exists (reference eval typ)
         rgb = out.get("rgb_fine", out["rgb_coarse"]).reshape(h, w, 3)
         gt = s["rgbs"].reshape(h, w, 3)
         mask = s.get("mask")
         mval = jnp.asarray(mask.reshape(h, w, 1)) if mask is not None else None
-        p = float(psnr_m(jnp.asarray(rgb), jnp.asarray(gt), mval))
-        sv = float(ssim_m(jnp.asarray(rgb), jnp.asarray(gt)))
+        rgb_j, gt_j = jnp.asarray(rgb), jnp.asarray(gt)
+        p = float(psnr_m(rgb_j, gt_j, mval))
+        # masked SSIM multiplies BOTH images by the AOI mask before scoring
+        # (so max_val = max(gt*mask)), exactly as reference eval.py:471
+        sv = float(ssim_m(rgb_j * mval, gt_j * mval) if mval is not None
+                   else ssim_m(rgb_j, gt_j))
         # scaled variants: both images divided by max(gt) before scoring
         # (sclimg, reference metrics.py:301-308, eval.py:469-471)
         from ..metrics import scale_images
-        rgb_s, gt_s = scale_images(jnp.asarray(rgb), jnp.asarray(gt))
+        rgb_s, gt_s = scale_images(rgb_j, gt_j)
         p_scl = float(psnr_m(rgb_s, gt_s, mval))
-        sv_scl = float(ssim_m(rgb_s, gt_s))
+        sv_scl = float(ssim_m(rgb_s * mval, gt_s * mval) if mval is not None
+                       else ssim_m(rgb_s, gt_s))
         src = s.get("src_id", str(idx))
         # full diagnostic panel stack (eval.py:494-497 save_nerf_output
         # analog): rgb/gt/depth + BRDF parameter / normal / sun maps
@@ -152,7 +182,8 @@ def main(argv=None):
                if args.run_id else args.logs_dir)
     evaluate(run_dir, args.epoch_number, split=args.split,
              checkpoints_dir=args.checkpoints_dir,
-             output_dir=args.output_dir)
+             output_dir=args.output_dir,
+             find_best_t=bool(args.find_best_t))
     return 0
 
 

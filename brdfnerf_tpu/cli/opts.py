@@ -187,6 +187,10 @@ def eval_parser() -> argparse.ArgumentParser:
                         "every training image (eval.py:238-249)")
     p.add_argument("--infile_postfix", type=str, default="")
     p.add_argument("--checkpoints_dir", type=str, default=None)
+    p.add_argument("--find_best_t", type=int, default=0,
+                   help="search the t-embedding vocab per val image and "
+                        "score with the best-PSNR index instead of the "
+                        "predefined t=0 (eval.py:184-199,215)")
     return p
 
 

@@ -2,8 +2,13 @@
 
 PSNR normalizes the squared error by max(gt)^2 (metrics.py:292-316), NOT by
 a fixed peak of 1.0 — this matters for fidelity comparisons and is kept.
-SSIM uses a 3x3 uniform-style gaussian window and max_val = max(gt),
-matching kornia.losses.ssim(window=3) as called at metrics.py:327-341.
+SSIM reproduces kornia==0.5.3 `kornia.losses.ssim` (requirements.txt:10)
+exactly as called at reference metrics.py:327-341: 3x3 gaussian window
+(sigma 1.5), SAME-size output via reflect padding (kornia filter2D's
+default border_type), eps=1e-12 on the denominator, mean over the per-pixel
+map, max_val = max(gt). The reference's masked convention multiplies BOTH
+images by the AOI mask before calling (main.py:607, eval.py:471), so
+max_val becomes max(gt*mask) — callers do `ssim(pred*mask, gt*mask)`.
 """
 
 from __future__ import annotations
@@ -36,9 +41,11 @@ def _gaussian_kernel(window: int, sigma: float, dtype):
     return g / jnp.sum(g)
 
 
-def ssim(image_pred, image_gt, window: int = 3, max_val=None):
-    """SSIM over (C, H, W) or (H, W, C) images (channel-separable gaussian
-    window sigma=1.5, the kornia convention)."""
+def ssim(image_pred, image_gt, window: int = 3, max_val=None,
+         eps: float = 1e-12):
+    """SSIM over (C, H, W) or (H, W, C) images, kornia-0.5.3-exact:
+    separable gaussian window sigma=1.5, reflect-padded SAME-size map
+    (kornia filter2D border_type='reflect'), num/(den+eps), mean."""
     if image_pred.ndim == 3 and image_pred.shape[0] in (1, 3):
         pred = image_pred
         gt = image_gt
@@ -49,11 +56,14 @@ def ssim(image_pred, image_gt, window: int = 3, max_val=None):
         max_val = jnp.max(gt)
 
     k = _gaussian_kernel(window, 1.5, pred.dtype)
+    pad = (window - 1) // 2
 
     def blur(img):
-        # separable conv along H then W, per channel, 'valid' padding
+        # separable conv along H then W, per channel, reflect 'same'
         def conv1d(x, axis):
             x = jnp.moveaxis(x, axis, -1)
+            padw = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+            x = jnp.pad(x, padw, mode="reflect")
             n = x.shape[-1] - window + 1
             out = jnp.zeros(x.shape[:-1] + (n,), x.dtype)
             for i in range(window):
@@ -71,7 +81,7 @@ def ssim(image_pred, image_gt, window: int = 3, max_val=None):
     sigma_pg = blur(pred * gt) - mu_pg
     num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
     den = (mu_p ** 2 + mu_g ** 2 + c1) * (sigma_p + sigma_g + c2)
-    return jnp.mean(num / den)
+    return jnp.mean(num / (den + eps))
 
 
 def scale_images(img1, img2):

@@ -33,7 +33,7 @@ from .parallel.train_step import (TrainGates, TrainState, create_train_state,
                                   make_train_step, make_render_step,
                                   make_optimizer)
 from .utils import checkpoint as ckpt
-from .metrics import psnr as psnr_metric, ssim as ssim_metric
+from .metrics import psnr as psnr_metric, ssim as ssim_metric, scale_images
 from .geo import dsm as dsm_mod
 
 
@@ -339,8 +339,13 @@ class Trainer:
         return self._render_fns[rcfg]
 
     def render_image(self, sample: Dict, chunk: Optional[int] = None,
-                     rcfg: Optional[RenderConfig] = None) -> Dict[str, np.ndarray]:
-        """Full-image render via a fixed-shape jitted chunk fn."""
+                     rcfg: Optional[RenderConfig] = None,
+                     t: int = 0) -> Dict[str, np.ndarray]:
+        """Full-image render via a fixed-shape jitted chunk fn.
+
+        t: transient-embedding index used for every ray; the default 0 is
+        the reference's predefined_val_ts (main.py:416-417, eval.py:222-223);
+        eval's best-embedding search overrides it (eval.py:184-199)."""
         import dataclasses as dc
         from .render.render import RenderInputs
         if chunk is None:
@@ -359,7 +364,6 @@ class Trainer:
         render_fn = self._get_render_fn(rcfg)
         rays = sample["rays"]
         n = rays.shape[0]
-        # predefined_val_ts = 0 (main.py:416-417)
         outs: Dict[str, List[np.ndarray]] = {}
         key = jax.random.PRNGKey(0)
         # on a mesh, chunk rays shard over the data axis (committed input
@@ -377,7 +381,7 @@ class Trainer:
             if pad > 0:
                 part = np.concatenate([part, np.tile(part[-1:], (pad, 1))], 0)
             inp = RenderInputs(rays=place(part),
-                               ts=place(np.zeros(chunk, np.int32)),
+                               ts=place(np.full(chunk, t, np.int32)),
                                cos_irra_on=jnp.asarray(
                                    self.cfg.train.cos_irra_on < 1.0))
             res = render_fn(self.state.params, inp, key)
@@ -461,10 +465,33 @@ class Trainer:
             mask = s.get("mask")
             mval = (jnp.asarray(mask.reshape(h, w, 1))
                     if mask is not None else None)
-            p = float(psnr_metric(jnp.asarray(rgb), jnp.asarray(gt), mval))
-            sv = float(ssim_metric(jnp.asarray(rgb), jnp.asarray(gt)))
+            rgb_j, gt_j = jnp.asarray(rgb), jnp.asarray(gt)
+            # masked metrics are the primary scalars; SSIM multiplies BOTH
+            # images by the mask (so max_val = max(gt*mask)) exactly as
+            # main.py:605-607; the unmasked pair is tracked alongside
+            # (psnr_all/ssim_all, main.py:604,606,668)
+            p_all = float(psnr_metric(rgb_j, gt_j))
+            sv_all = float(ssim_metric(rgb_j, gt_j))
+            if mval is not None:
+                p = float(psnr_metric(rgb_j, gt_j, mval))
+                sv = float(ssim_metric(rgb_j * mval, gt_j * mval))
+            else:
+                p, sv = p_all, sv_all
             tag = "val" if is_val else "train_"
-            scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv}
+            scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv,
+                    f"{tag}/psnr_all_{idx}": p_all,
+                    f"{tag}/ssim_all_{idx}": sv_all}
+            if epoch == 2:
+                # epoch-2 scl cadence: score once on max(gt)-rescaled images
+                # and print the diff (scl=epoch==2, main.py:603,668-672)
+                rgb_s, gt_s = scale_images(rgb_j, gt_j)
+                p_scl = float(psnr_metric(rgb_s, gt_s, mval))
+                sv_scl = float(ssim_metric(rgb_s * mval, gt_s * mval)
+                               if mval is not None
+                               else ssim_metric(rgb_s, gt_s))
+                print(f"[val] psnr_scl: {p_scl:.3f}, ssim_scl: {sv_scl:.3f}"
+                      f" | psnr_dif: {p - p_scl:.5f}"
+                      f" ssim_dif: {sv - sv_scl:.6f}")
             rep = None
             if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
                 depth = out.get("depth_fine", out["depth_coarse"])

@@ -383,3 +383,103 @@ def test_render_level_parity(ref):
             np.asarray(ours[key]).squeeze(),
             refs[key].detach().numpy().squeeze(),
             rtol=2e-3, atol=atol, err_msg=key)
+
+
+def _kornia053_ssim_map(torch, img1, img2, window_size, max_val):
+    """Faithful torch transcription of kornia==0.5.3 kornia.losses.ssim
+    (the exact function the reference binds as ssim__, metrics.py:7,
+    requirements.txt:10; kornia itself is not installed in this image):
+    gaussian window sigma=(1.5,1.5), SAME-size output via filter2D's
+    default border_type='reflect', and num/(den + 1e-12) per-pixel map."""
+    import torch.nn.functional as F
+    x = torch.arange(window_size, dtype=torch.float64) - window_size // 2
+    g = torch.exp(-(x ** 2) / (2.0 * 1.5 ** 2))
+    g = g / g.sum()
+    kernel2d = torch.outer(g, g).to(img1.dtype)
+
+    def filter2d(inp):
+        c = inp.shape[1]
+        pad = (window_size - 1) // 2
+        inp_p = F.pad(inp, (pad, pad, pad, pad), mode="reflect")
+        k = kernel2d.expand(c, 1, window_size, window_size)
+        return F.conv2d(inp_p, k, groups=c)
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu1, mu2 = filter2d(img1), filter2d(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filter2d(img1 * img1) - mu1_sq
+    sigma2_sq = filter2d(img2 * img2) - mu2_sq
+    sigma12 = filter2d(img1 * img2) - mu1_mu2
+    num = (2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)
+    den = (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    return num / (den + 1e-12)
+
+
+def _ref_ssim(torch, pred_hwc, gt_hwc, mask_hw1=None):
+    """Reference metrics.ssim_ call convention (metrics.py:327-341): images
+    reshaped to (1,3,H,W), optionally mask-multiplied BEFORE the call
+    (main.py:607, eval.py:471), max_val = np.max(gt) of the (masked) gt,
+    torch.mean over the kornia map."""
+    p = torch.from_numpy(np.ascontiguousarray(
+        pred_hwc.transpose(2, 0, 1)))[None]
+    g = torch.from_numpy(np.ascontiguousarray(
+        gt_hwc.transpose(2, 0, 1)))[None]
+    if mask_hw1 is not None:
+        m = torch.from_numpy(np.ascontiguousarray(
+            mask_hw1.transpose(2, 0, 1)))[None]
+        p, g = p * m, g * m
+    max_val = float(np.max(g.numpy()))
+    return float(torch.mean(
+        _kornia053_ssim_map(torch, p, g, 3, max_val)))
+
+
+def test_ssim_kornia_parity(ref):
+    """Our jnp ssim == kornia-0.5.3 torch oracle, masked and unmasked,
+    under the reference's exact call convention."""
+    from brdfnerf_tpu.metrics import ssim as our_ssim, scale_images
+    rng = np.random.RandomState(7)
+    h, w = 37, 29
+    gt = rng.uniform(0.0, 0.83, (h, w, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.08, gt.shape), 0, 1).astype(
+        np.float32)
+    mask = (rng.uniform(size=(h, w, 1)) > 0.35).astype(np.float32)
+
+    # unmasked (ssim_all, main.py:606)
+    ours = float(our_ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    theirs = _ref_ssim(ref.torch, pred, gt)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    # masked (ssim_, main.py:607 / eval.py:471): BOTH images premultiplied,
+    # max_val picked from gt*mask
+    ours_m = float(our_ssim(jnp.asarray(pred * mask), jnp.asarray(gt * mask)))
+    theirs_m = _ref_ssim(ref.torch, pred, gt, mask)
+    np.testing.assert_allclose(ours_m, theirs_m, atol=1e-5)
+    # masking must actually change the statistic on this fixture
+    assert abs(ours_m - ours) > 1e-4
+
+    # scl variant (metrics.sclimg then ssim, eval.py:471 scl=True)
+    ps, gs = scale_images(jnp.asarray(pred), jnp.asarray(gt))
+    ours_scl = float(our_ssim(np.asarray(ps) * mask, np.asarray(gs) * mask))
+    theirs_scl = _ref_ssim(ref.torch, pred / gt.max(), gt / gt.max(), mask)
+    np.testing.assert_allclose(ours_scl, theirs_scl, atol=1e-5)
+
+
+def test_psnr_masked_parity(ref):
+    """Our masked PSNR == the reference's boolean-indexed per-element mean
+    (metrics.py:292-316) incl. the max(gt)^2 normalization."""
+    from brdfnerf_tpu.metrics import psnr as our_psnr
+    t = ref.torch
+    rng = np.random.RandomState(3)
+    h, w = 23, 31
+    gt = rng.uniform(0.0, 0.9, (h, w, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(
+        np.float32)
+    mask = (rng.uniform(size=(h, w, 1)) > 0.4)
+
+    value = t.from_numpy((pred - gt) ** 2) / float((gt.max()) ** 2)
+    vm = t.from_numpy(np.broadcast_to(mask, value.shape).copy())
+    ref_psnr = float(-10.0 * t.log10(t.mean(value[vm])))
+    ours = float(our_psnr(jnp.asarray(pred), jnp.asarray(gt),
+                          jnp.asarray(mask.astype(np.float32))))
+    np.testing.assert_allclose(ours, ref_psnr, atol=1e-4)
