@@ -97,12 +97,64 @@ def main():
 
     best = min(times) / SCAN_STEPS
     rays_per_sec = BATCH / best
+
+    loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        # honest end-to-end number: Trainer.fit's own loop — device gather
+        # + H2D index transfer + per-step gate computation + host dispatch
+        # (through this rig's TPU tunnel, which adds per-dispatch latency a
+        # colocated host would not see)
+        "loop_rays_per_sec": round(loop_rays_per_sec, 1),
+        "loop_vs_baseline": round(loop_rays_per_sec / REFERENCE_RAYS_PER_SEC,
+                                  3),
     }))
+
+
+def measure_loop(mcfg, rcfg, tcfg) -> float:
+    """End-to-end training-loop throughput via the REAL Trainer.fit loop:
+    DeviceRayBatcher gather, H2D index transfer, TrainGates computation,
+    host dispatch, periodic metric fetches (log_every=100) all included.
+    Warm-up fit compiles; the timed fit reports its own rays_per_sec."""
+    import shutil
+    import tempfile
+    from brdfnerf_tpu.config import RunConfig
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+
+    # brdf_on=-1 pins the flagship stage-2 static phase (apply_brdf) from
+    # step 0 so the warm-up and timed windows run ONE compiled program
+    tcfg = dc.replace(tcfg, brdf_on=-1.0, nrrg_on=-1.0,
+                      max_train_steps=10**6)
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    store = _loop_store(131072)
+    tmp = tempfile.mkdtemp(prefix="bench_loop_")
+    try:
+        tr = Trainer(cfg, store,
+                     TrainerPaths(logs_dir=tmp,
+                                  ckpts_dir=f"{tmp}/ckpts"),
+                     val_dataset=None, seed=0)
+        # warm-up: compile + pipeline fill (epoch-end hooks disabled by the
+        # huge cadences; the final ckpt save lands after timing)
+        tr.fit(max_steps=40, log_every=100, eval_every_n_epochs=10**6,
+               save_ckpt_every_n_epochs=10**6, progress=False)
+        m = tr.fit(max_steps=340, log_every=100, eval_every_n_epochs=10**6,
+                   save_ckpt_every_n_epochs=10**6, progress=False)
+        return float(m["rays_per_sec"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _loop_store(n_rays: int):
+    from __graft_entry__ import _make_batch
+    b = _make_batch(n_rays, np.random.RandomState(3))
+    return {"rays": b["rays"], "rgbs": b["rgbs"], "ts": b["ts"],
+            "depths": b["depths"], "valid_depth": b["valid_depth"],
+            "depth_std": b["depth_std"], "normals": b["normals"],
+            "valid_normal": b["valid_normal"]}
 
 
 if __name__ == "__main__":

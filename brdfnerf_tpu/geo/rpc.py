@@ -208,13 +208,18 @@ def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
     return lon, lat
 
 
-def localization(rpc: RPCModel, col, row, alt, iters: int = 12):
-    """Image (col, row) at altitude alt (m) -> ground (lon, lat) degrees.
+def localization_normalized(rpc: RPCModel, col, row, alt, iters: int = 12):
+    """Image (col, row) at altitude alt (m) -> NORMALIZED ground
+    (nlon, nlat), i.e. (lon - lon_offset)/lon_scale etc.
 
     Newton iteration in normalized coordinates; the 2x2 Jacobian comes from
     jax.jacfwd of the rational polynomials (exact, no finite differences).
-    Converges to < 1e-10 in normalized units in a handful of steps for
-    well-conditioned satellite RPCs.
+    This is the accurate device-dtype interface: in float32 it inverts
+    `projection` to ~1e-2 px at full Pleiades scene scale.  Absolute
+    degrees cannot represent that (f32 quantization of lon ~ 43 deg is
+    ~2.6e-6 deg ~ 0.5 px), which is why on-device consumers should stay in
+    normalized/scene coordinates and only the float64 host twin
+    (`localization_np`) should produce degrees.
     """
     col = jnp.asarray(col)
     orig_shape = col.shape
@@ -243,6 +248,18 @@ def localization(rpc: RPCModel, col, row, alt, iters: int = 12):
         return jax.lax.fori_loop(0, iters, body, p0)
 
     p = jax.vmap(solve_one)(ncol, nrow, nalt)
-    lon = p[:, 0] * rpc.lon_scale + rpc.lon_offset
-    lat = p[:, 1] * rpc.lat_scale + rpc.lat_offset
-    return lon.reshape(orig_shape), lat.reshape(orig_shape)
+    return (p[:, 0].reshape(orig_shape), p[:, 1].reshape(orig_shape))
+
+
+def localization(rpc: RPCModel, col, row, alt, iters: int = 12):
+    """Image (col, row) at altitude alt (m) -> ground (lon, lat) degrees.
+
+    Thin denormalizing wrapper over `localization_normalized`; in float32
+    the OUTPUT quantization of absolute degrees dominates the error
+    (~0.5 px at full scene scale — see localization_normalized docstring),
+    so prefer the normalized interface on device.
+    """
+    nlon, nlat = localization_normalized(rpc, col, row, alt, iters=iters)
+    lon = nlon * rpc.lon_scale + rpc.lon_offset
+    lat = nlat * rpc.lat_scale + rpc.lat_offset
+    return lon, lat

@@ -131,3 +131,192 @@ def test_rpc_rescale():
     r2 = rpc_mod.rescale_rpc(rpc, 0.5)
     assert float(r2.col_scale) == 2500.0
     assert float(r2.row_offset) == 500.0
+
+
+# ------------------------------------------------------------------ RPC00B
+# Full-cubic, Pleiades-realistic RPC fixture (VERDICT r2 item 4): the RPC is
+# least-squares FITTED to a perspective pushbroom-like satellite camera over
+# a Djibouti-scale AOI, so every high-order coefficient is non-trivial and
+# carries the magnitude decay of a real RPC00B set (earth curvature +
+# off-nadir perspective generate genuine cubic terms). The affine fixtures
+# above cannot catch a high-order-term or normalization-order bug; this can.
+
+def _pleiades_like_rpc():
+    """Fit a full 78-coefficient RPC00B model to a physical camera.
+
+    Returns (rpc, fit_residual_px): residual is the max |fit - camera| over
+    the fitting grid, in pixels — the oracle guard."""
+    lat0, lon0 = 11.12, 42.77              # Dji_012-like scene center
+    lat_scale, lon_scale = 0.1, 0.1        # ~11 km half-extent: full scene
+    alt_offset, alt_scale = 850.0, 250.0   # 600..1100 m terrain
+    col_offset = row_offset = 20000.0      # ~40k px Pleiades product
+    col_scale = row_scale = 20000.0
+
+    # perspective camera: satellite 694 km up, ~12 deg off-nadir; across
+    # a 22 km footprint, earth curvature (~9.5 m sagitta) + tan-theta
+    # perspective put the cubic RPC terms at the several-pixel level
+    sat = latlon_to_ecef(np.float64(11.12 + 1.35), np.float64(42.77 + 0.45),
+                         np.float64(694000.0))
+    sat = np.asarray(sat, np.float64).reshape(3)
+    ctr = np.asarray(latlon_to_ecef(np.float64(lat0), np.float64(lon0),
+                                    np.float64(alt_offset)),
+                     np.float64).reshape(3)
+    e3 = (ctr - sat) / np.linalg.norm(ctr - sat)          # boresight
+    up = ctr / np.linalg.norm(ctr)
+    e1 = np.cross(e3, up); e1 /= np.linalg.norm(e1)
+    e2 = np.cross(e3, e1)
+    # focal (px) s.t. the +-11 km footprint maps onto +-col_scale px
+    f = col_scale * np.linalg.norm(ctr - sat) / 11.1e3
+
+    def cam_project(lat, lon, alt):
+        p = np.stack(latlon_to_ecef(lat, lon, alt), -1) - sat
+        z = p @ e3
+        u = f * (p @ e1) / z
+        w = f * (p @ e2) / z
+        # a pure pinhole is projective-linear, which the RPC denominator
+        # absorbs exactly; real pushbroom RPCs owe their cubic terms to
+        # scan dynamics / optics, modeled here as cubic radial distortion
+        # (~3 px at the scene corner) the rational linear part cannot fit
+        r2 = (u / col_scale) ** 2 + (w / row_scale) ** 2
+        u = u * (1.0 + 8e-5 * r2)
+        w = w * (1.0 + 8e-5 * r2)
+        return u + col_offset, w + row_offset
+
+    # fitting grid over the normalized cube
+    g = np.linspace(-1.0, 1.0, 13)
+    nlat, nlon, nalt = [a.ravel() for a in np.meshgrid(g, g, g[::2])]
+    lat = nlat * lat_scale + lat0
+    lon = nlon * lon_scale + lon0
+    alt = nalt * alt_scale + alt_offset
+    col, row = cam_project(lat, lon, alt)
+    ncol = (col - col_offset) / col_scale
+    nrow = (row - row_offset) / row_scale
+
+    # RPC00B monomial design matrix (x=nlat, y=nlon, z=nalt, rpc.py order)
+    x, y, z = nlat, nlon, nalt
+    one = np.ones_like(x)
+    A = np.stack([one, y, x, z, y*x, y*z, x*z, y*y, x*x, z*z,
+                  x*y*z, y**3, y*x*x, y*z*z, y*y*x, x**3, x*z*z,
+                  y*y*z, x*x*z, z**3], -1)
+
+    def fit_ratio(target):
+        # target = (A@num)/(A@den), den[0]=1: [A | -target*A[:,1:]] @ w = target
+        M = np.concatenate([A, -target[:, None] * A[:, 1:]], -1)
+        w, *_ = np.linalg.lstsq(M, target, rcond=None)
+        num = w[:20]
+        den = np.concatenate([[1.0], w[20:]])
+        return num, den
+
+    col_num, col_den = fit_ratio(ncol)
+    row_num, row_den = fit_ratio(nrow)
+    rpc = rpc_from_dict(dict(
+        row_offset=row_offset, col_offset=col_offset, lat_offset=lat0,
+        lon_offset=lon0, alt_offset=alt_offset, row_scale=row_scale,
+        col_scale=col_scale, lat_scale=lat_scale, lon_scale=lon_scale,
+        alt_scale=alt_scale, row_num=row_num, row_den=row_den,
+        col_num=col_num, col_den=col_den))
+    fit_col, fit_row = rpc_mod.projection_np(rpc, lon, lat, alt)
+    resid = max(np.max(np.abs(fit_col - col)), np.max(np.abs(fit_row - row)))
+    return rpc, float(resid)
+
+
+@pytest.fixture(scope="module")
+def pleiades_rpc():
+    rpc, resid = _pleiades_like_rpc()
+    # sanity guard: the rational fit reproduces the camera to a realistic
+    # RPC generation accuracy (real RPC00B products fit to ~0.01-0.1 px);
+    # the inversion tests below close their loop through the RPC itself,
+    # so this bound guards fixture sanity, not the inversion error
+    assert resid < 0.05, f"RPC fit residual {resid} px"
+    # realism guard: the high-order (cubic block) terms must matter — a
+    # truncated-to-quadratic copy must move projections by > 0.5 px
+    trunc = rpc._replace(
+        col_num=np.where(np.arange(20) >= 10, 0.0, rpc.col_num),
+        row_num=np.where(np.arange(20) >= 10, 0.0, rpc.row_num),
+        col_den=np.where(np.arange(20) >= 10, 0.0, rpc.col_den),
+        row_den=np.where(np.arange(20) >= 10, 0.0, rpc.row_den))
+    lon = rpc.lon_offset + rpc.lon_scale * 0.9
+    lat = rpc.lat_offset + rpc.lat_scale * -0.8
+    alt = rpc.alt_offset + rpc.alt_scale * 0.9
+    c0, r0 = rpc_mod.projection_np(rpc, lon, lat, alt)
+    c1, r1 = rpc_mod.projection_np(trunc, lon, lat, alt)
+    assert max(abs(float(c1 - c0)), abs(float(r1 - r0))) > 0.5
+    return rpc
+
+
+def test_rpc00b_localization_subpixel(pleiades_rpc):
+    """Device-twin (f32) Newton localization inverts projection to < 0.1 px
+    over the full image grid x altitude range (SURVEY.md 7 hard part #1)."""
+    rpc = pleiades_rpc
+    cols, rows = np.meshgrid(np.linspace(200.0, 39800.0, 9),
+                             np.linspace(200.0, 39800.0, 9))
+    for nalt in (-0.95, -0.4, 0.0, 0.55, 0.95):
+        alt = float(rpc.alt_offset + nalt * rpc.alt_scale)
+        # the f32 device interface works in NORMALIZED ground coords
+        # (absolute f32 degrees quantize to ~0.5 px at this scene scale,
+        # see localization_normalized docstring); denormalize in f64 to
+        # close the loop so the bound measures the INVERSION error
+        nlon, nlat = rpc_mod.localization_normalized(
+            rpc, jnp.asarray(cols.ravel(), jnp.float32),
+            jnp.asarray(rows.ravel(), jnp.float32), jnp.asarray(alt))
+        lon = (np.asarray(nlon, np.float64) * float(rpc.lon_scale)
+               + float(rpc.lon_offset))
+        lat = (np.asarray(nlat, np.float64) * float(rpc.lat_scale)
+               + float(rpc.lat_offset))
+        c2, r2 = rpc_mod.projection_np(rpc, lon, lat,
+                                       np.full(cols.size, alt))
+        err = np.hypot(c2 - cols.ravel(), r2 - rows.ravel())
+        assert np.max(err) < 0.1, (alt, float(np.max(err)))
+
+
+def test_rpc00b_localization_np_exact(pleiades_rpc):
+    """f64 host twin inverts to < 1e-3 px on the same grid."""
+    rpc = pleiades_rpc
+    cols, rows = np.meshgrid(np.linspace(200.0, 39800.0, 7),
+                             np.linspace(200.0, 39800.0, 7))
+    for nalt in (-0.9, 0.0, 0.9):
+        alt = float(rpc.alt_offset + nalt * rpc.alt_scale)
+        lon, lat = rpc_mod.localization_np(rpc, cols.ravel(), rows.ravel(),
+                                           alt)
+        c2, r2 = rpc_mod.projection_np(rpc, lon, lat,
+                                       np.full(cols.size, alt))
+        err = np.hypot(c2 - cols.ravel(), r2 - rows.ravel())
+        assert np.max(err) < 1e-3, (alt, float(np.max(err)))
+
+
+def test_rpc00b_f32_f64_drift(pleiades_rpc):
+    """f32 device twin vs f64 host twin: drift bounded at < 0.1 px
+    equivalent (the two are used interchangeably across ingestion/render)."""
+    rpc = pleiades_rpc
+    cols = np.linspace(500.0, 39500.0, 25)
+    rows = np.linspace(39500.0, 500.0, 25)
+    alt = float(rpc.alt_offset)
+    nlon32, nlat32 = rpc_mod.localization_normalized(
+        rpc, jnp.asarray(cols, jnp.float32), jnp.asarray(rows, jnp.float32),
+        jnp.asarray(alt))
+    lon64, lat64 = rpc_mod.localization_np(rpc, cols, rows, alt)
+    nlon64 = (lon64 - float(rpc.lon_offset)) / float(rpc.lon_scale)
+    nlat64 = (lat64 - float(rpc.lat_offset)) / float(rpc.lat_scale)
+    dpx_lon = np.abs(np.asarray(nlon32, np.float64) - nlon64) \
+        * float(rpc.col_scale)
+    dpx_lat = np.abs(np.asarray(nlat32, np.float64) - nlat64) \
+        * float(rpc.row_scale)
+    assert np.max(dpx_lon) < 0.1 and np.max(dpx_lat) < 0.1, (
+        float(np.max(dpx_lon)), float(np.max(dpx_lat)))
+
+
+def test_rpc00b_rescale_parity(pleiades_rpc):
+    """rescale_rpc semantics vs sat_utils.py:90-108: row/col scale AND
+    offset multiply by alpha, so pixels map as p -> alpha*p."""
+    rpc = pleiades_rpc
+    alpha = 1.0 / 3.0
+    r2 = rpc_mod.rescale_rpc(rpc, alpha)
+    assert float(r2.col_scale) == float(rpc.col_scale) * alpha
+    assert float(r2.row_offset) == float(rpc.row_offset) * alpha
+    lon = rpc.lon_offset + rpc.lon_scale * np.asarray([-0.7, 0.1, 0.8])
+    lat = rpc.lat_offset + rpc.lat_scale * np.asarray([0.6, -0.2, -0.9])
+    alt = rpc.alt_offset + rpc.alt_scale * np.asarray([0.3, -0.5, 0.0])
+    c0, r0 = rpc_mod.projection_np(rpc, lon, lat, alt)
+    c1, r1 = rpc_mod.projection_np(r2, lon, lat, alt)
+    np.testing.assert_allclose(c1, alpha * c0, rtol=1e-12)
+    np.testing.assert_allclose(r1, alpha * r0, rtol=1e-12)
