@@ -128,3 +128,158 @@ def test_handoff_include_from_torch_ckpt(ref_model_and_ckpt):
     # ...but BRDF heads keep the fresh init (not in the include list)
     k2 = "coarse/k_from_xyz/0/w"
     assert not np.array_equal(flat_new[k2], flat_ck[k2])
+
+
+def _build_ref_ckpt(tmpdir, torch_kwargs, args_kwargs, t_vocab=None,
+                    t_dim=4, seed=11):
+    """Reference SpSBRDFNeRF (+ optional embedding_t) -> Lightning ckpt."""
+    import importlib
+    import torch
+    torch.manual_seed(seed)
+    spsb = importlib.import_module("models.spsbrdfnerf")
+    base_args = dict(input_viewdir=False, funcM=False, funcF=False,
+                     funcH=0, b=False, c=False, theta=False)
+    base_args.update(args_kwargs)
+    model = spsb.SpSBRDFNeRF(types.SimpleNamespace(**base_args),
+                             **torch_kwargs)
+    model.eval()
+    sd = {f"nerf_coarse.{k}": v for k, v in model.state_dict().items()}
+    emb = None
+    if t_vocab:
+        emb = torch.nn.Embedding(t_vocab, t_dim)
+        sd["embedding_t.weight"] = emb.weight.detach()
+    path = os.path.join(tmpdir, "epoch=3.ckpt")
+    torch.save({"state_dict": sd, "global_step": 777}, path)
+    return model, emb, path
+
+
+@pytest.fixture()
+def ref_env():
+    from conftest import stub_reference_deps, unstub_reference_deps
+    stubbed = stub_reference_deps()
+    sys.path.insert(0, REF)
+    try:
+        yield
+    finally:
+        sys.path.remove(REF)
+        unstub_reference_deps(stubbed)
+
+
+def test_import_flagship_shape_hapke(ref_env, tmp_path):
+    """Full 8x512 flagship trunk shape + the Hapke b/c/theta head family
+    (spsbrdfnerf.py:601-613), forward parity point-for-point."""
+    import torch as t
+    from brdfnerf_tpu.config import ModelConfig
+    from brdfnerf_tpu.models.network import (init_network,
+                                             apply_network_with_normals)
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    model, _, path = _build_ref_ckpt(
+        str(tmp_path),
+        dict(layers=8, feat=512, mapping=True, mapping_sizes=[10, 4],
+             skips=[4], siren=True, beta=False, roughness=False,
+             normal="analystic", sun_v="none", indirect_light=False),
+        dict(b=True, c=True, theta=True))
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      layers=8, feat=512, skips=(4,), normal="analystic",
+                      func_m=False, func_f=False, func_h=0,
+                      hapke_b=True, hapke_c=True, hapke_theta=True,
+                      fast_sin=False)
+    template = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
+    params = ckpt_mod.restore_params(template, path)
+
+    xyz = np.random.RandomState(5).uniform(-1, 1, (64, 3)).astype(np.float32)
+    ours = apply_network_with_normals(params["coarse"], cfg,
+                                      jnp.asarray(xyz), apply_brdf=True,
+                                      apply_theta=True)
+    xt = t.from_numpy(xyz)
+    xt.requires_grad_(True)
+    out = model(xt, sigma_only=False, apply_brdf=True, apply_theta=True,
+                nr_an_on=True).detach().numpy()
+    # layout: rgb(3) sigma(1) normal_an(3) b(3) c(3) theta(1)
+    np.testing.assert_allclose(np.asarray(ours["rgb"]), out[:, 0:3],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["sigma"]), out[:, 3],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["hpk_b"]), out[:, 7:10],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["hpk_c"]), out[:, 10:13],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["hpk_theta"]).reshape(-1, 1),
+                               out[:, 13:14], rtol=1e-4, atol=2e-5)
+
+
+def test_import_roughness_beta_t(ref_env, tmp_path):
+    """Microfacet roughness head + beta head + t-embedding import
+    (spsbrdfnerf.py:571-584, main.py:115 embedding_t)."""
+    import torch as t
+    from brdfnerf_tpu.config import ModelConfig
+    from brdfnerf_tpu.models.network import (init_network, init_t_embedding,
+                                             apply_network)
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    model, emb, path = _build_ref_ckpt(
+        str(tmp_path),
+        dict(layers=4, feat=64, mapping=True, mapping_sizes=[10, 4],
+             skips=[2], siren=True, beta=True, roughness=True,
+             normal="none", sun_v="none", indirect_light=False,
+             t_embedding_dims=4),
+        dict(), t_vocab=30)
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      layers=4, feat=64, skips=(2,), normal="none",
+                      beta=True, roughness=True, t_embedding_vocab=30,
+                      t_embedding_tau=4, func_m=False, func_f=False,
+                      func_h=0, fast_sin=False)
+    template = {"coarse": init_network(jax.random.PRNGKey(0), cfg),
+                "t": init_t_embedding(jax.random.PRNGKey(1), 30, 4)}
+    params = ckpt_mod.restore_params(template, path)
+    np.testing.assert_array_equal(np.asarray(params["t"]),
+                                  emb.weight.detach().numpy())
+
+    xyz = np.random.RandomState(6).uniform(-1, 1, (48, 3)).astype(np.float32)
+    t_idx = np.random.RandomState(7).randint(0, 30, 48)
+    t_emb = np.asarray(params["t"])[t_idx]
+    ours = apply_network(params["coarse"], cfg, jnp.asarray(xyz),
+                         t_emb=jnp.asarray(t_emb), apply_brdf=True)
+    out = model(t.from_numpy(xyz), input_t=t.from_numpy(t_emb),
+                sigma_only=False, apply_brdf=True).detach().numpy()
+    # layout: rgb(3) sigma(1) beta(1) roughness(1)
+    np.testing.assert_allclose(np.asarray(ours["rgb"]), out[:, 0:3],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["beta"]).reshape(-1, 1),
+                               out[:, 4:5], rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["roughness"]).reshape(-1, 1),
+                               out[:, 5:6], rtol=1e-4, atol=2e-5)
+
+
+def test_import_learned_sun_v_sky_mapping(ref_env, tmp_path):
+    """sun_v='learned' + indirect_light sky head key mapping. The
+    reference's own spsbrdf learned-sun forward is broken (undefined
+    xyz_features_, spsbrdfnerf.py:697 — SURVEY.md known-broken list), so
+    this asserts the PARAMETER mapping, not forward parity."""
+    from brdfnerf_tpu.config import ModelConfig
+    from brdfnerf_tpu.models.network import init_network
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    model, _, path = _build_ref_ckpt(
+        str(tmp_path),
+        dict(layers=4, feat=64, mapping=True, mapping_sizes=[10, 4],
+             skips=[2], siren=True, beta=False, roughness=False,
+             normal="none", sun_v="learned", indirect_light=True),
+        dict())
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      layers=4, feat=64, skips=(2,), normal="none",
+                      sun_v="learned", indirect_light=True,
+                      func_m=False, func_f=False, func_h=0, fast_sin=False)
+    template = {"coarse": init_network(jax.random.PRNGKey(0), cfg)}
+    params = ckpt_mod.restore_params(template, path)
+    sd = model.state_dict()
+    # sun_v_net: Sequential Linear at even indices -> layer j//2, transposed
+    for tk, ok in (("sun_v_net.0.weight", ("sun_v_net", 0)),
+                   ("sun_v_net.2.weight", ("sun_v_net", 1)),
+                   ("sun_v_net.4.weight", ("sun_v_net", 2)),
+                   ("sky_color.0.weight", ("sky_color", 0)),
+                   ("sky_color.2.weight", ("sky_color", 1))):
+        head, j = ok
+        ours_w = np.asarray(params["coarse"][head][j]["w"])
+        np.testing.assert_array_equal(ours_w, sd[tk].numpy().T)
