@@ -64,6 +64,13 @@ def main(argv=None) -> int:
     p.add_argument("--utm_zone", type=int, required=True)
     p.add_argument("--south", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run_ba", action="store_true",
+                   help="run bundle adjustment on the emitted crops with "
+                        "the reference's pipeline contract "
+                        "(generate_dataset.py:40-86) and fold rpcs_adj + "
+                        "keypoints + pts3d.npy back into the JSONs; "
+                        "degrades gracefully (skips) when the "
+                        "bundle_adjust package is not installed")
     args = p.parse_args(argv)
 
     dsm_tif = os.path.join(args.dsm_dir, f"{args.aoi_id}_DSM.tif")
@@ -101,6 +108,16 @@ def main(argv=None) -> int:
         args.aoi_id, args.dsm_dir, images, out_dir,
         utm_zone=args.utm_zone, northern=not args.south,
         sun_angles=sun_table, seed=args.seed)
+    if args.run_ba:
+        # reference order: BA runs on the emitted crops, then its adjusted
+        # RPCs/keypoints replace the JSON contents (generate_dataset.py:
+        # 503-508 CropImagePatches -> run_ba -> create_dataset use_ba)
+        crops_dir = os.path.join(out_dir, f"dataset{args.aoi_id}",
+                                 args.aoi_id, "RGB-crops", args.aoi_id)
+        ba_out = dg.run_ba(crops_dir, os.path.join(out_dir, "ba"))
+        if ba_out is not None:
+            n = dg.apply_ba_to_dataset(root, ba_out)
+            print(f"[generate_dataset] BA folded into {n} image JSONs")
     print(f"[generate_dataset] dataset root: {root} "
           f"({len(images)} images)")
     return 0

@@ -103,10 +103,18 @@ def _lookup_sun_angles(table: Optional[Dict], img_id: str,
         return default
     if img_id in table:
         return table[img_id]
-    for key, val in table.items():
-        if key in img_id:
-            return val
-    return default
+    # LONGEST matching key wins (a short key that is a substring of a
+    # longer one must not shadow it), and ambiguity is reported instead of
+    # silently resolved by dict iteration order
+    matches = [key for key in table if key in img_id]
+    if not matches:
+        return default
+    best = max(matches, key=len)
+    others = [k for k in matches if len(k) == len(best) and k != best]
+    if others:
+        print(f"[dataset_gen] WARNING: sun-angle table keys {others + [best]}"
+              f" all match image '{img_id}'; using '{best}'")
+    return table[best]
 
 
 def _points_in_polygon(px: np.ndarray, py: np.ndarray,
@@ -198,6 +206,121 @@ def crop_dsm(dsm_path: str, out_path: str, ulx: float, uly: float,
         np.savetxt(roi_txt,
                    np.asarray([ulx, uly - ysize * prof.yres, xsize, res]))
     return out_path
+
+
+def run_ba(img_dir: str, output_dir: str) -> Optional[str]:
+    """Drive the external bundle-adjustment pipeline in-process with the
+    reference's exact config contract (generate_dataset.py:40-86):
+    feature-tracks config {FT_reset: False, FT_save: True, s2p SIFT,
+    epipolar matching}, cam_model='rpc', artifacts harvested into
+    <output_dir>/ba_files/ba_params (pts_ind/cam_ind/pts3d/pts2d npys +
+    geotiff_paths.txt; rpcs_adj/ written by the pipeline itself).
+
+    The `bundle_adjust` package lives in a separate conda env in the
+    reference too (setup_ba_env.sh); when it (or rpcm) is not importable
+    here, returns None and the caller degrades to consuming a
+    pre-existing ba_output directory.
+    """
+    try:
+        from bundle_adjust.cam_utils import SatelliteImage
+        from bundle_adjust.ba_pipeline import BundleAdjustmentPipeline
+        from bundle_adjust import loader
+        import rpcm
+    except ImportError as e:
+        print(f"[dataset_gen] bundle_adjust unavailable ({e}); skipping "
+              f"BA — supply ba_files/ (rpcs_adj + ba_params) from an "
+              f"external sat-bundleadjust run instead")
+        return None
+
+    os.makedirs(output_dir, exist_ok=True)
+    myimages = sorted(glob.glob(os.path.join(img_dir, "*.tif")))
+    myrpcs = [rpcm.rpc_from_geotiff(p) for p in myimages]
+    input_images = [SatelliteImage(fn, rpc)
+                    for fn, rpc in zip(myimages, myrpcs)]
+    ba_input_data = {
+        "in_dir": img_dir,
+        "out_dir": os.path.join(output_dir, "ba_files"),
+        "images": input_images,
+    }
+    os.makedirs(ba_input_data["out_dir"], exist_ok=True)
+    log_path = os.path.join(ba_input_data["out_dir"], "bundle_adjust.log")
+    print(f"[dataset_gen] running bundle adjustment (log: {log_path})")
+    tracks_config = {"FT_reset": False, "FT_save": True,
+                     "FT_sift_detection": "s2p",
+                     "FT_sift_matching": "epipolar_based"}
+    ba_extra = {"cam_model": "rpc"}
+    import contextlib
+    with open(log_path, "w+") as log_file, \
+            contextlib.redirect_stdout(log_file), \
+            contextlib.redirect_stderr(log_file):
+        ba_pipeline = BundleAdjustmentPipeline(
+            ba_input_data, tracks_config=tracks_config,
+            extra_ba_config=ba_extra)
+        ba_pipeline.run()
+
+    ba_params_dir = os.path.join(ba_pipeline.out_dir, "ba_params")
+    os.makedirs(ba_params_dir, exist_ok=True)
+    np.save(os.path.join(ba_params_dir, "pts_ind.npy"),
+            ba_pipeline.ba_params.pts_ind)
+    np.save(os.path.join(ba_params_dir, "cam_ind.npy"),
+            ba_pipeline.ba_params.cam_ind)
+    np.save(os.path.join(ba_params_dir, "pts3d.npy"),
+            ba_pipeline.ba_params.pts3d_ba - ba_pipeline.global_transform)
+    np.save(os.path.join(ba_params_dir, "pts2d.npy"),
+            ba_pipeline.ba_params.pts2d)
+    fnames = [ba_pipeline.images[idx].geotiff_path
+              for idx in ba_pipeline.ba_params.cam_prev_indices]
+    loader.save_list_of_paths(
+        os.path.join(ba_params_dir, "geotiff_paths.txt"), fnames)
+    print(f"[dataset_gen] BA done: {ba_input_data['out_dir']}")
+    return output_dir
+
+
+def apply_ba_to_dataset(root_dir: str, ba_output_dir: str) -> int:
+    """Fold a finished BA run into an emitted dataset root: per-image JSON
+    rpc fields replaced by rpcs_adj, keypoints attached
+    ({2d_coordinates, pts3d_indices} split by cam index), and pts3d.npy
+    copied next to the JSONs — the reference's create_dataset use_ba
+    branch (generate_dataset.py:99-105,150-166).  Returns the number of
+    JSONs updated."""
+    import json as json_mod
+    import shutil
+    params_dir = os.path.join(ba_output_dir, "ba_files", "ba_params")
+    paths_txt = os.path.join(params_dir, "geotiff_paths.txt")
+    if not os.path.exists(paths_txt):
+        print(f"[dataset_gen] no ba_params under {ba_output_dir}; "
+              f"nothing applied")
+        return 0
+    with open(paths_txt) as f:
+        basenames = [os.path.basename(l.strip()) for l in f if l.strip()]
+    pts_ind = np.load(os.path.join(params_dir, "pts_ind.npy"))
+    cam_ind = np.load(os.path.join(params_dir, "cam_ind.npy"))
+    pts2d = np.load(os.path.join(params_dir, "pts2d.npy"))
+    shutil.copyfile(os.path.join(params_dir, "pts3d.npy"),
+                    os.path.join(root_dir, "pts3d.npy"))
+    n = 0
+    for jp in sorted(glob.glob(os.path.join(root_dir, "*.json"))):
+        with open(jp) as f:
+            d = json_mod.load(f)
+        img_id = os.path.splitext(os.path.basename(jp))[0]
+        rpc_adj = adjusted_rpc_from_ba(ba_output_dir, img_id)
+        if rpc_adj is not None:
+            d["rpc"] = rpc_adj
+        try:
+            cam_idx = basenames.index(d.get("img", img_id + ".tif"))
+        except ValueError:
+            try:
+                cam_idx = [os.path.splitext(b)[0]
+                           for b in basenames].index(img_id)
+            except ValueError:
+                continue
+        sel = cam_ind == cam_idx
+        d["keypoints"] = {"2d_coordinates": pts2d[sel].tolist(),
+                          "pts3d_indices": pts_ind[sel].tolist()}
+        with open(jp, "w") as f:
+            json_mod.dump(d, f, indent=2)
+        n += 1
+    return n
 
 
 def adjusted_rpc_from_ba(output_dir: str, img_id: str) -> Optional[Dict]:
