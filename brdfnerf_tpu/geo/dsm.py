@@ -79,7 +79,11 @@ def dsm_from_depth(rays: np.ndarray, depth: np.ndarray, scene: SceneLoc,
     if cs == "ecef":
         lat, lon, alt = ecef_to_latlon(xyz[:, 0], xyz[:, 1], xyz[:, 2])
         zone = utm_zone[0] if utm_zone else None
-        east, north = utm_from_latlon(lat, lon, zone=zone)
+        # pass the scene's hemisphere letter through rather than letting
+        # utm_from_latlon infer it from the first point of the cloud
+        southern = (utm_zone[1] < "N") if utm_zone else None
+        east, north = utm_from_latlon(lat, lon, zone=zone,
+                                      southern=southern)
         cloud = np.stack([east, north, alt], -1)
     else:
         cloud = xyz

@@ -109,13 +109,17 @@ _BETA = (
 )
 
 
-def utm_from_latlon(lats, lons, zone: int | None = None):
+def utm_from_latlon(lats, lons, zone: int | None = None,
+                    southern: bool | None = None):
     """Geodetic degrees -> UTM (easting, northing) meters.
 
     If zone is None it is derived from the first point (like
     sat_utils.utm_from_latlon:148-162, which fixes the zone from element 0).
     Returns (easting, northing).  Southern-hemisphere northings carry the
-    10,000,000 m false northing, matching +proj=utm.
+    10,000,000 m false northing, matching +proj=utm.  Callers that already
+    hold the scene's (zone, 'N'/'S') should pass `southern` explicitly —
+    inferring it from the first point would shift an equator-straddling
+    cloud by 1e7 m if that point were an outlier on the wrong side.
     """
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
@@ -141,11 +145,13 @@ def utm_from_latlon(lats, lons, zone: int | None = None):
 
     easting = _K0 * _A_CAP * eta + 500000.0
     northing = _K0 * _A_CAP * xi
-    # the false northing follows the SCENE's hemisphere (first point, like
-    # the zone), not each point's: a +proj=utm CRS applies one false
-    # northing to every coordinate, so an equator-straddling cloud must
-    # stay continuous (per-point application would split it by 1e7 m)
-    southern = bool(lats.ravel()[0] < 0.0) if lats.size else False
+    # the false northing follows the SCENE's hemisphere (explicit arg when
+    # the caller knows it, else first point, like the zone), not each
+    # point's: a +proj=utm CRS applies one false northing to every
+    # coordinate, so an equator-straddling cloud must stay continuous
+    # (per-point application would split it by 1e7 m)
+    if southern is None:
+        southern = bool(lats.ravel()[0] < 0.0) if lats.size else False
     if southern:
         northing = northing + 10000000.0
     return easting, northing

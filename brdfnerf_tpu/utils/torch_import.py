@@ -37,11 +37,16 @@ SEP = "/"
 _NET_PREFIXES = {"nerf_coarse.": "coarse" + SEP, "nerf_fine.": "fine" + SEP}
 
 
-def convert_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+def convert_state_dict(sd: Dict[str, Any],
+                       skipped: list = None) -> Dict[str, np.ndarray]:
     """Reference state_dict -> flat param dict (utils/checkpoint layout).
 
     Unrecognized keys (buffers, loss modules, ...) are skipped — the
     reference's checkpoints contain only the module families mapped here.
+    Recognized-prefix (nerf_coarse./nerf_fine.) keys whose module path has
+    an unexpected layout are collected into `skipped` when given, so layout
+    drift in future reference checkpoints is diagnosable instead of
+    surfacing as a bare 'missing N parameters' restore error.
     """
     out: Dict[str, np.ndarray] = {}
     for key, val in sd.items():
@@ -59,6 +64,8 @@ def convert_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
             continue
         parts = rest.split(".")
         if parts[-1] not in ("weight", "bias"):
+            if skipped is not None:
+                skipped.append(key)
             continue
         leaf = "w" if parts[-1] == "weight" else "b"
         if len(parts) == 2:                      # bare nn.Linear head
@@ -66,6 +73,8 @@ def convert_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
         elif len(parts) == 3 and parts[1].isdigit():
             head, idx = parts[0], int(parts[1]) // 2
         else:
+            if skipped is not None:
+                skipped.append(key)
             continue
         if leaf == "w" and arr.ndim == 2:
             arr = arr.T.copy()                   # torch (out,in) -> (in,out)
@@ -81,22 +90,36 @@ def _to_numpy(v) -> np.ndarray:
 
 def import_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .ckpt (or bare state_dict .pth) as our flat dict."""
+    import os
     import torch
     try:
         # weights_only rejects arbitrary pickled code — Lightning
         # state_dict+global_step checkpoints load fine this way
         d = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        print(f"[torch_import] {path}: weights_only load failed; falling "
-              f"back to full unpickling — only do this for checkpoints "
-              f"you trust")
+    except Exception as e:
+        # full unpickling EXECUTES code embedded in the file; require an
+        # explicit opt-in instead of silently falling back
+        if os.environ.get("BRDFNERF_ALLOW_UNSAFE_CKPT") != "1":
+            raise ValueError(
+                f"{path}: safe (weights_only) load failed: {e}. If you "
+                f"trust this checkpoint, set BRDFNERF_ALLOW_UNSAFE_CKPT=1 "
+                f"to allow full unpickling (runs arbitrary code from the "
+                f"file).") from e
+        print(f"[torch_import] {path}: weights_only load failed; "
+              f"BRDFNERF_ALLOW_UNSAFE_CKPT=1 set — full unpickling")
         d = torch.load(path, map_location="cpu", weights_only=False)
     sd = d.get("state_dict", d) if isinstance(d, dict) else d
-    flat = convert_state_dict(sd)
+    skipped: list = []
+    flat = convert_state_dict(sd, skipped=skipped)
+    if skipped:
+        print(f"[torch_import] {path}: {len(skipped)} recognized-prefix "
+              f"keys had an unexpected module layout and were NOT "
+              f"imported: {skipped[:8]}{'...' if len(skipped) > 8 else ''}")
     if not flat:
         raise ValueError(
             f"{path}: no reference-model keys found (expected "
-            f"nerf_coarse.* / nerf_fine.* / embedding_t.*)")
+            f"nerf_coarse.* / nerf_fine.* / embedding_t.*)"
+            + (f"; skipped unmapped keys: {skipped[:8]}" if skipped else ""))
     if isinstance(d, dict) and "global_step" in d:
         flat["__step__"] = np.asarray(int(d["global_step"]))
     return flat
