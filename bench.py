@@ -41,7 +41,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_RAYS_PER_SEC = 4000.0   # documented proxy, see module docstring
 
-BATCH = 1024          # opt.py:158
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", 1024))   # opt.py:158 default;
+# BENCH_BATCH overrides for batch-scaling measurements with the SAME scan
+# methodology as the headline (BASELINE.md batch-scaling table)
 N_SAMPLES = 64        # opt.py:176
 GUIDED = 64           # opt.py:217
 
@@ -98,13 +101,20 @@ def main():
     best = min(times) / SCAN_STEPS
     rays_per_sec = BATCH / best
 
-    loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
-
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }
+    if os.environ.get("BENCH_SCAN_ONLY"):      # batch-scaling sweeps
+        print(json.dumps(out))
+        return
+
+    loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
+
+    print(json.dumps({
+        **out,
         # honest end-to-end number: Trainer.fit's own loop — device gather
         # + H2D index transfer + per-step gate computation + host dispatch
         # (through this rig's TPU tunnel, which adds per-dispatch latency a

@@ -62,11 +62,17 @@ class DeviceRayBatcher(RayBatcher):
     """Device-resident store + one fused on-device gather per step."""
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
-                 seed: int = 0):
+                 seed: int = 0, sharding=None):
         super().__init__(arrays, batch_size, seed)
         import jax
         import jax.numpy as jnp
-        self._store = {k: jnp.asarray(v) for k, v in arrays.items()}
+        if sharding is not None:
+            # mesh path: replicate the store across the devices so the
+            # in-step gather with a 'data'-sharded index vector stays local
+            self._store = {k: jax.device_put(v, sharding)
+                           for k, v in arrays.items()}
+        else:
+            self._store = {k: jnp.asarray(v) for k, v in arrays.items()}
         # drop the host copy: the base class only needs it for its own
         # next_batch (unused here), and a satellite ray store is
         # O(GB) of host RAM that would otherwise stay pinned all run
@@ -74,6 +80,11 @@ class DeviceRayBatcher(RayBatcher):
         self._gather = jax.jit(
             lambda store, idx: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), store))
+
+    @property
+    def store(self) -> Dict:
+        """The device-resident arrays (for fused in-step gathering)."""
+        return self._store
 
     def next_batch(self) -> Dict:
         import jax.numpy as jnp

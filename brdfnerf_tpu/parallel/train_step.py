@@ -38,6 +38,30 @@ class TrainGates(NamedTuple):
     hs_on: jnp.ndarray            # epoch > 2
 
 
+class GateSchedule(NamedTuple):
+    """Static schedule thresholds (fraction*max_steps, precomputed by the
+    trainer) for IN-STEP gate computation: the TrainGates become functions
+    of state.step inside the jitted program, so the host sends zero gate /
+    key scalars per step (5 tiny H2D transfers otherwise — expensive when
+    the device sits behind a high-latency link)."""
+    t_cos_irra: float
+    t_ds_drop: float
+    t_nrrg: float
+    steps_per_epoch: int
+    first_beta_epoch: int
+
+
+def gates_from_step(step, sched: GateSchedule) -> TrainGates:
+    """main.py:60-63,202-230 schedule comparisons, traced on device."""
+    epoch = step // sched.steps_per_epoch
+    return TrainGates(
+        cos_irra_on=step > sched.t_cos_irra,
+        ds_on=step < sched.t_ds_drop,
+        nrrg_on=step > sched.t_nrrg,
+        beta_warmup=epoch < sched.first_beta_epoch,
+        hs_on=epoch > 2)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -214,6 +238,72 @@ def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
+                          tcfg: TrainConfig, optimizer,
+                          schedule: GateSchedule, has_kp: bool = False,
+                          mesh=None):
+    """Single-dispatch train step: the minibatch gather from the
+    device-resident ray store, the schedule gates, and the per-step RNG key
+    all happen INSIDE the jitted program.  Per step the host sends one
+    (batch,) int32 index vector and nothing else — the batch-building work
+    the reference spreads over 4 DataLoader workers plus a host chunk loop
+    (main.py:170-184) is one fused XLA program.
+
+    With a mesh, the store is REPLICATED over the devices and the index
+    vector is sharded over the 'data' axis, so the gather stays local
+    (zero collectives) and each device materializes only its shard of the
+    batch; the gradient all-reduce over ICI is unchanged.  The host-side
+    work per step is identical to the single-device path: one small
+    int32 upload.
+
+    Signature: (state, store, idx, [kp_store, kp_idx,] base_key).
+    The index sequence still comes from the host batcher, so shuffled-epoch
+    (sample-without-replacement) semantics are preserved exactly.
+    """
+
+    def _gather(store, idx):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), store)
+
+    def step_fn(state: TrainState, store, idx, *rest):
+        if has_kp:
+            kp_store, kp_idx, base_key = rest
+        else:
+            (base_key,) = rest
+        batch = _gather(store, idx)
+        if has_kp:
+            kb = _gather(kp_store, kp_idx)
+            batch = dict(batch, kp_rays=kb["rays"], kp_depths=kb["depths"],
+                         kp_ts=kb["ts"])
+        key = jax.random.fold_in(base_key, state.step)
+        gates = gates_from_step(state.step, schedule)
+
+        def loss_fn(params):
+            return compute_losses(params, mcfg, rcfg, tcfg, batch, key,
+                                  gates)
+
+        (loss, (terms, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    shardings = [repl, repl, data]           # state, store, idx
+    if has_kp:
+        shardings += [repl, data]            # kp_store, kp_idx
+    shardings.append(repl)                   # base_key
+    return jax.jit(step_fn, in_shardings=tuple(shardings),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
 
 
 def make_render_step(mcfg: ModelConfig, rcfg: RenderConfig, mesh=None,

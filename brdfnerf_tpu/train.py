@@ -102,10 +102,22 @@ class Trainer:
         batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
                                   "valid_depth", "depth_std", "normals",
                                   "valid_normal") if k in train_store]
-        # single device: store lives on device, one fused gather per step
-        # (only the index vector crosses H2D); mesh: host gather feeding
-        # shard_batch, which places one shard per device
-        batcher_cls = RayBatcher if mesh is not None else DeviceRayBatcher
+        # fused loop (default): store lives on device — replicated over the
+        # mesh when one is given — and each step's minibatch gather happens
+        # inside the jitted train step; only the index vector crosses H2D.
+        # Escape hatch BRDFNERF_NO_FUSED_LOOP=1 restores the host-gather
+        # loop (RayBatcher + shard_batch placement on the mesh path).
+        self.fused_loop = not os.environ.get("BRDFNERF_NO_FUSED_LOOP")
+        self._store_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._store_sharding = NamedSharding(mesh, PartitionSpec())
+        if self.fused_loop:
+            def batcher_cls(arrays, bs, seed):
+                return DeviceRayBatcher(arrays, bs, seed=seed,
+                                        sharding=self._store_sharding)
+        else:
+            batcher_cls = RayBatcher if mesh is not None else DeviceRayBatcher
         self.batcher = batcher_cls({k: train_store[k] for k in batch_keys},
                                    tcfg.batch_size, seed=seed)
         # sat-nerf keypoint depth: a second batcher over the tie-point store;
@@ -212,6 +224,9 @@ class Trainer:
         # per-epoch cross-section dump reuses one compiled fn for the run
         self._render_fns: Dict[Any, Any] = {}
         self._key = jax.random.PRNGKey(seed + 1)
+        # fused-path RNG root: the per-step key is fold_in(base, step) on
+        # device, so resume reproduces the same key sequence
+        self._base_key = jax.random.PRNGKey(seed + 1)
         self.eval_chunk = 16384          # --chunk (opt.py:182) analog
         # visualization cadence (main.py:368-389): panels written for the
         # first N epochs and every save_visu_every_n_epochs afterwards
@@ -242,9 +257,26 @@ class Trainer:
             import dataclasses as dc
             rcfg = dc.replace(self.cfg.render, apply_brdf=phase[0],
                               apply_theta=phase[1], gsam_only=phase[2])
-            self._step_fns[phase] = make_train_step(
-                self.cfg.model, rcfg, self.cfg.train, self.opt,
-                mesh=self.mesh)
+            if self.fused_loop:
+                # ONE dispatch per step — store gather, schedule gates, and
+                # the per-step key are all computed inside the program (see
+                # make_fused_train_step); with a mesh the gather reads the
+                # replicated store through a 'data'-sharded index vector
+                from .parallel.train_step import (make_fused_train_step,
+                                                  GateSchedule)
+                sched = GateSchedule(
+                    t_cos_irra=float(self.t_cos_irra),
+                    t_ds_drop=float(self.t_ds_drop),
+                    t_nrrg=float(self.t_nrrg),
+                    steps_per_epoch=int(self.steps_per_epoch),
+                    first_beta_epoch=int(self.cfg.train.first_beta_epoch))
+                self._step_fns[phase] = make_fused_train_step(
+                    self.cfg.model, rcfg, self.cfg.train, self.opt, sched,
+                    has_kp=self.depth_batcher is not None, mesh=self.mesh)
+            else:
+                self._step_fns[phase] = make_train_step(
+                    self.cfg.model, rcfg, self.cfg.train, self.opt,
+                    mesh=self.mesh)
         return self._step_fns[phase]
 
     def _gates(self, step: int, epoch: int) -> TrainGates:
@@ -284,20 +316,32 @@ class Trainer:
             if prof_window and step == prof_window[1]:
                 jax.profiler.stop_trace()
                 prof_window = None
-            batch = self.batcher.next_batch()
-            if self.depth_batcher is not None:
-                kb = self.depth_batcher.next_batch()
-                batch = dict(batch, kp_rays=kb["rays"],
-                             kp_depths=kb["depths"], kp_ts=kb["ts"])
-            batch = self._place_batch(batch)
-            self._key, k = jax.random.split(self._key)
             step_fn = self._get_step_fn(self._static_phase(step))
-            gates = self._gates(step, epoch)
-            if self.mesh is not None:
-                from .parallel.mesh import replicate
-                gates = replicate(self.mesh, gates)
-                k = replicate(self.mesh, k)
-            self.state, metrics = step_fn(self.state, batch, k, gates)
+            if self.fused_loop:
+                # fused path: only the int32 index vector(s) cross H2D;
+                # on the mesh path jit's in_shardings place them P('data')
+                args = [self.state, self.batcher.store,
+                        self.batcher.next_indices().astype(np.int32)]
+                if self.depth_batcher is not None:
+                    args += [self.depth_batcher.store,
+                             self.depth_batcher.next_indices()
+                             .astype(np.int32)]
+                args.append(self._base_key)
+                self.state, metrics = step_fn(*args)
+            else:
+                batch = self.batcher.next_batch()
+                if self.depth_batcher is not None:
+                    kb = self.depth_batcher.next_batch()
+                    batch = dict(batch, kp_rays=kb["rays"],
+                                 kp_depths=kb["depths"], kp_ts=kb["ts"])
+                batch = self._place_batch(batch)
+                self._key, k = jax.random.split(self._key)
+                gates = self._gates(step, epoch)
+                if self.mesh is not None:
+                    from .parallel.mesh import replicate
+                    gates = replicate(self.mesh, gates)
+                    k = replicate(self.mesh, k)
+                self.state, metrics = step_fn(self.state, batch, k, gates)
             if step % log_every == 0 or step == max_steps - 1:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.perf_counter() - t0

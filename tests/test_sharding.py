@@ -134,6 +134,92 @@ def test_sharded_render_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fused_step_matches_plain_step():
+    """The single-device fused step (in-program store gather + in-program
+    gates/key, brdfnerf_tpu/parallel/train_step.py make_fused_train_step)
+    is numerically identical to the plain step fed the same gathered batch,
+    the same fold_in key, and the same gate booleans.  SGD (linear in the
+    gradient) keeps the comparison at float-rounding scale — Adam's
+    sign-like update would amplify compile-order rounding on near-zero
+    gradients to lr-sized parameter diffs (observed on CPU; on TPU the two
+    programs match bit-exactly even under Adam)."""
+    import optax
+    from brdfnerf_tpu.parallel.train_step import (make_fused_train_step,
+                                                  GateSchedule,
+                                                  gates_from_step,
+                                                  TrainState)
+    mcfg, rcfg, tcfg = _cfg()
+    store = {k: jnp.asarray(v) for k, v in _batch(512).items()}
+    idx = jnp.asarray(np.random.RandomState(7).permutation(512)[:128]
+                      .astype(np.int32))
+    base_key = jax.random.PRNGKey(5)
+    sched = GateSchedule(t_cos_irra=0.0, t_ds_drop=1e9, t_nrrg=-1.0,
+                         steps_per_epoch=100, first_beta_epoch=0)
+    opt = optax.sgd(1e-2)
+
+    def fresh_state():
+        st, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+        return TrainState(st.params, opt.init(st.params), st.step)
+
+    batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), store)
+    gates = jax.tree_util.tree_map(jnp.asarray,
+                                   gates_from_step(0, sched))
+    key = jax.random.fold_in(base_key, 0)
+    step1 = make_train_step(mcfg, rcfg, tcfg, opt, donate=False)
+    s1, m1 = step1(fresh_state(), batch, key, gates)
+
+    fused = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched)
+    s2, m2 = fused(fresh_state(), store, idx, base_key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_fused_mesh_step_matches_plain_step():
+    """The mesh variant of the fused step (replicated store, 'data'-sharded
+    index vector, in-program gather) matches the plain single-device step:
+    the gather stays local per device and the gradient all-reduce
+    reconstructs the same mean-gradient as the unsharded program."""
+    import optax
+    from brdfnerf_tpu.parallel.train_step import (make_fused_train_step,
+                                                  GateSchedule,
+                                                  gates_from_step,
+                                                  TrainState)
+    mcfg, rcfg, tcfg = _cfg()
+    store_np = _batch(512)
+    idx_np = np.random.RandomState(11).permutation(512)[:128].astype(np.int32)
+    base_key = jax.random.PRNGKey(5)
+    sched = GateSchedule(t_cos_irra=0.0, t_ds_drop=1e9, t_nrrg=-1.0,
+                         steps_per_epoch=100, first_beta_epoch=0)
+    opt = optax.sgd(1e-2)
+
+    def fresh_state():
+        st, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+        return TrainState(st.params, opt.init(st.params), st.step)
+
+    store = {k: jnp.asarray(v) for k, v in store_np.items()}
+    batch = jax.tree_util.tree_map(
+        lambda a: jnp.take(a, jnp.asarray(idx_np), axis=0), store)
+    gates = jax.tree_util.tree_map(jnp.asarray, gates_from_step(0, sched))
+    step1 = make_train_step(mcfg, rcfg, tcfg, opt, donate=False)
+    s1, m1 = step1(fresh_state(), batch, jax.random.fold_in(base_key, 0),
+                   gates)
+
+    mesh = make_mesh(8)
+    fused = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched, mesh=mesh)
+    s2, m2 = fused(replicate(mesh, fresh_state()), store_np, idx_np,
+                   base_key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=5e-5)
+
+
 def test_trainer_with_mesh(tmp_path):
     """Trainer drives the sharded step end-to-end over the 8-device mesh."""
     from synth_aoi import build_aoi
