@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--logs_dir", required=True)
     p.add_argument("--epoch_number", type=int, required=True)

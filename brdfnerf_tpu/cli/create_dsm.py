@@ -38,6 +38,8 @@ def most_nadir_indices(ds):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="render most-nadir DSM")
     p.add_argument("--logs_dir", type=str, required=True,
                    help="run dir containing opts.json")

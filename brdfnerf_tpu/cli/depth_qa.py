@@ -45,6 +45,8 @@ def depth_qa(root_dir: str, gt_dir: str, aoi_id: str,
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--root_dir", required=True)
     p.add_argument("--gt_dir", required=True)

@@ -175,6 +175,8 @@ def _dummy_store(val_ds):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = opts_mod.eval_parser().parse_args(argv)
     # reference contract: the run directory is logs_dir/run_id
     # (eval.py:225-228); with no run_id, logs_dir IS the run directory

@@ -14,6 +14,8 @@ from . import opts as opts_mod
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = opts_mod.postprocess(opts_mod.train_parser().parse_args(argv))
     run_dir = os.path.join(args.logs_dir, args.exp_name)
     opts_mod.dump_opts(args, run_dir)

@@ -161,3 +161,32 @@ def test_device_batcher_matches_host_batcher():
         bd = dev.next_batch()
         for k in arrays:
             np.testing.assert_array_equal(np.asarray(bd[k]), bh[k])
+
+
+def test_compile_cache_helper(monkeypatch):
+    """Every CLI enables the persistent compilation cache (utils/
+    compile_cache.py): default dir, BRDFNERF_COMPILE_CACHE override,
+    opt-out, and deference to a user-set JAX_COMPILATION_CACHE_DIR."""
+    import jax
+    from brdfnerf_tpu.utils.compile_cache import enable_persistent_cache
+    prev = jax.config.jax_compilation_cache_dir
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setenv("BRDFNERF_COMPILE_CACHE", "/tmp/cc_test")
+    enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir == "/tmp/cc_test"
+
+    # user already drives JAX's own knob -> leave it alone
+    monkeypatch.delenv("BRDFNERF_COMPILE_CACHE")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/user_cc")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/user_cc")
+    enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir == "/tmp/user_cc"
+
+    # opt-out leaves config untouched
+    monkeypatch.setenv("BRDFNERF_COMPILE_CACHE", "0")
+    jax.config.update("jax_compilation_cache_dir", None)
+    enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir is None
+
+    jax.config.update("jax_compilation_cache_dir", prev)
