@@ -136,9 +136,11 @@ def measure_loop(mcfg, rcfg, tcfg) -> float:
     from brdfnerf_tpu.train import Trainer, TrainerPaths
 
     # brdf_on=-1 pins the flagship stage-2 static phase (apply_brdf) from
-    # step 0 so the warm-up and timed windows run ONE compiled program
+    # step 0 so the warm-up and timed windows run ONE compiled program;
+    # batch_size follows BENCH_BATCH so the scan and loop numbers in one
+    # JSON line always measure the same workload
     tcfg = dc.replace(tcfg, brdf_on=-1.0, nrrg_on=-1.0,
-                      max_train_steps=10**6)
+                      max_train_steps=10**6, batch_size=BATCH)
     cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
     store = _loop_store(131072)
     tmp = tempfile.mkdtemp(prefix="bench_loop_")
@@ -147,12 +149,13 @@ def measure_loop(mcfg, rcfg, tcfg) -> float:
                      TrainerPaths(logs_dir=tmp,
                                   ckpts_dir=f"{tmp}/ckpts"),
                      val_dataset=None, seed=0)
-        # warm-up: compile + pipeline fill (epoch-end hooks disabled by the
-        # huge cadences; the final ckpt save lands after timing)
-        tr.fit(max_steps=40, log_every=100, eval_every_n_epochs=10**6,
-               save_ckpt_every_n_epochs=10**6, progress=False)
-        m = tr.fit(max_steps=340, log_every=100, eval_every_n_epochs=10**6,
-                   save_ckpt_every_n_epochs=10**6, progress=False)
+        # warm-up: compile + pipeline fill. Cadence 0 = no epoch-end
+        # validation/saves during training; the final save of each fit()
+        # lands after its own timing window closes
+        tr.fit(max_steps=40, log_every=100, eval_every_n_epochs=0,
+               save_ckpt_every_n_epochs=0, progress=False)
+        m = tr.fit(max_steps=340, log_every=100, eval_every_n_epochs=0,
+                   save_ckpt_every_n_epochs=0, progress=False)
         return float(m["rays_per_sec"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -160,11 +163,7 @@ def measure_loop(mcfg, rcfg, tcfg) -> float:
 
 def _loop_store(n_rays: int):
     from __graft_entry__ import _make_batch
-    b = _make_batch(n_rays, np.random.RandomState(3))
-    return {"rays": b["rays"], "rgbs": b["rgbs"], "ts": b["ts"],
-            "depths": b["depths"], "valid_depth": b["valid_depth"],
-            "depth_std": b["depth_std"], "normals": b["normals"],
-            "valid_normal": b["valid_normal"]}
+    return _make_batch(n_rays, np.random.RandomState(3))
 
 
 if __name__ == "__main__":

@@ -23,17 +23,18 @@ from . import opts as opts_mod
 
 def find_best_t_for_val_image(tr, sample, psnr_fn, n_vocab: int):
     """Best-PSNR transient-embedding search (eval.py:184-199): render the
-    image once per vocab index, score unmasked PSNR, keep the argmax."""
+    image once per vocab index, score unmasked PSNR, keep the argmax —
+    returning the winning render too, so the caller never re-renders."""
     import jax.numpy as jnp
     gt = jnp.asarray(sample["rgbs"].reshape(-1, 3))
-    best_t, best_psnr = 0, -float("inf")
+    best_t, best_psnr, best_out = 0, -float("inf"), None
     for t in range(n_vocab):
         out = tr.render_image(sample, t=t)
         rgb = jnp.asarray(out.get("rgb_fine", out["rgb_coarse"]))
         p = float(psnr_fn(rgb.reshape(-1, 3), gt))
         if p > best_psnr:
-            best_t, best_psnr = t, p
-    return best_t, best_psnr
+            best_t, best_psnr, best_out = t, p, out
+    return best_t, best_psnr, best_out
 
 
 def evaluate(run_dir: str, epoch_number: int, split: str = "val",
@@ -43,7 +44,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
     from ..utils.geotiff import write_geotiff, GeoProfile
-    from ..metrics import psnr as psnr_m, ssim as ssim_m
+    from ..metrics import psnr as psnr_m, masked_scores
     from ..geo import dsm as dsm_mod
 
     args = opts_mod.load_opts(run_dir)
@@ -88,13 +89,14 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
     search_t = find_best_t and "t" in tr.state.params
     for idx in range(len(val_ds)):
         s = val_ds.get_image(idx)
-        t_idx = 0
+        t_idx, out = 0, None
         if search_t:
-            t_idx, best_p = find_best_t_for_val_image(
+            t_idx, best_p, out = find_best_t_for_val_image(
                 tr, s, psnr_m, int(getattr(args, "t_embbeding_vocab", 30)))
             print(f"[eval] best t for image {idx}: {t_idx} "
                   f"(psnr {best_p:.2f})")
-        out = tr.render_image(s, t=t_idx)
+        if out is None:
+            out = tr.render_image(s, t=t_idx)
         h, w = s["h"], s["w"]
         # score the fine pass when a fine model exists (reference eval typ)
         rgb = out.get("rgb_fine", out["rgb_coarse"]).reshape(h, w, 3)
@@ -102,18 +104,11 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
         mask = s.get("mask")
         mval = jnp.asarray(mask.reshape(h, w, 1)) if mask is not None else None
         rgb_j, gt_j = jnp.asarray(rgb), jnp.asarray(gt)
-        p = float(psnr_m(rgb_j, gt_j, mval))
-        # masked SSIM multiplies BOTH images by the AOI mask before scoring
-        # (so max_val = max(gt*mask)), exactly as reference eval.py:471
-        sv = float(ssim_m(rgb_j * mval, gt_j * mval) if mval is not None
-                   else ssim_m(rgb_j, gt_j))
-        # scaled variants: both images divided by max(gt) before scoring
-        # (sclimg, reference metrics.py:301-308, eval.py:469-471)
-        from ..metrics import scale_images
-        rgb_s, gt_s = scale_images(rgb_j, gt_j)
-        p_scl = float(psnr_m(rgb_s, gt_s, mval))
-        sv_scl = float(ssim_m(rgb_s * mval, gt_s * mval) if mval is not None
-                       else ssim_m(rgb_s, gt_s))
+        # masked + max(gt)-rescaled scoring, reference convention
+        # (eval.py:469-471); single implementation in metrics.masked_scores
+        sc = masked_scores(rgb_j, gt_j, mval, scl=True)
+        p, sv = sc["psnr"], sc["ssim"]
+        p_scl, sv_scl = sc["psnr_scl"], sc["ssim_scl"]
         src = s.get("src_id", str(idx))
         # full diagnostic panel stack (eval.py:494-497 save_nerf_output
         # analog): rgb/gt/depth + BRDF parameter / normal / sun maps

@@ -234,6 +234,9 @@ def run_ba(img_dir: str, output_dir: str) -> Optional[str]:
 
     os.makedirs(output_dir, exist_ok=True)
     myimages = sorted(glob.glob(os.path.join(img_dir, "*.tif")))
+    if not myimages:
+        print(f"[dataset_gen] no .tif images under {img_dir}; skipping BA")
+        return None
     myrpcs = [rpcm.rpc_from_geotiff(p) for p in myimages]
     input_images = [SatelliteImage(fn, rpc)
                     for fn, rpc in zip(myimages, myrpcs)]

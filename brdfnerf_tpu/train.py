@@ -33,7 +33,7 @@ from .parallel.train_step import (TrainGates, TrainState, create_train_state,
                                   make_train_step, make_render_step,
                                   make_optimizer)
 from .utils import checkpoint as ckpt
-from .metrics import psnr as psnr_metric, ssim as ssim_metric, scale_images
+from .metrics import masked_scores
 from .geo import dsm as dsm_mod
 
 
@@ -107,7 +107,10 @@ class Trainer:
         # inside the jitted train step; only the index vector crosses H2D.
         # Escape hatch BRDFNERF_NO_FUSED_LOOP=1 restores the host-gather
         # loop (RayBatcher + shard_batch placement on the mesh path).
-        self.fused_loop = not os.environ.get("BRDFNERF_NO_FUSED_LOOP")
+        # "0"/"" = fused (default), anything else = host-gather loop —
+        # same =0-means-off convention as BRDFNERF_COMPILE_CACHE
+        self.fused_loop = os.environ.get(
+            "BRDFNERF_NO_FUSED_LOOP", "0") in ("", "0")
         self._store_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -361,13 +364,17 @@ class Trainer:
 
     def _on_epoch_end(self, epoch: int, eval_every: int, save_every: int,
                       final: bool = False):
+        """Cadences: every N epochs (N >= 1; epoch 0 included, like the
+        reference's Lightning check_val_every_n_epoch), 0 = never during
+        training (the final save/validation still runs) — an explicit
+        disable, since `epoch % huge == 0` is True at epoch 0."""
         if self.val_dataset is not None and (
-                epoch % max(eval_every, 1) == 0 or final):
+                (eval_every > 0 and epoch % eval_every == 0) or final):
             try:
                 self.validate(epoch)
             except Exception as e:   # validation must never kill training
                 print(f"[val] failed at epoch {epoch}: {e}")
-        if epoch % max(save_every, 1) == 0 or final:
+        if (save_every > 0 and epoch % save_every == 0) or final:
             path = os.path.join(self.paths.ckpts_dir, f"epoch={epoch}.npz")
             ckpt.save_checkpoint(path, self.state.params,
                                  step=int(self.state.step))
@@ -510,32 +517,20 @@ class Trainer:
             mval = (jnp.asarray(mask.reshape(h, w, 1))
                     if mask is not None else None)
             rgb_j, gt_j = jnp.asarray(rgb), jnp.asarray(gt)
-            # masked metrics are the primary scalars; SSIM multiplies BOTH
-            # images by the mask (so max_val = max(gt*mask)) exactly as
-            # main.py:605-607; the unmasked pair is tracked alongside
-            # (psnr_all/ssim_all, main.py:604,606,668)
-            p_all = float(psnr_metric(rgb_j, gt_j))
-            sv_all = float(ssim_metric(rgb_j, gt_j))
-            if mval is not None:
-                p = float(psnr_metric(rgb_j, gt_j, mval))
-                sv = float(ssim_metric(rgb_j * mval, gt_j * mval))
-            else:
-                p, sv = p_all, sv_all
+            # masked metrics are the primary scalars, unmasked pair
+            # alongside (main.py:604-607,668); scl cadence at epoch 2
+            # (main.py:603,668-672). Convention lives in metrics.
+            sc = masked_scores(rgb_j, gt_j, mval, scl=(epoch == 2))
+            p, sv = sc["psnr"], sc["ssim"]
             tag = "val" if is_val else "train_"
             scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv,
-                    f"{tag}/psnr_all_{idx}": p_all,
-                    f"{tag}/ssim_all_{idx}": sv_all}
+                    f"{tag}/psnr_all_{idx}": sc["psnr_all"],
+                    f"{tag}/ssim_all_{idx}": sc["ssim_all"]}
             if epoch == 2:
-                # epoch-2 scl cadence: score once on max(gt)-rescaled images
-                # and print the diff (scl=epoch==2, main.py:603,668-672)
-                rgb_s, gt_s = scale_images(rgb_j, gt_j)
-                p_scl = float(psnr_metric(rgb_s, gt_s, mval))
-                sv_scl = float(ssim_metric(rgb_s * mval, gt_s * mval)
-                               if mval is not None
-                               else ssim_metric(rgb_s, gt_s))
-                print(f"[val] psnr_scl: {p_scl:.3f}, ssim_scl: {sv_scl:.3f}"
-                      f" | psnr_dif: {p - p_scl:.5f}"
-                      f" ssim_dif: {sv - sv_scl:.6f}")
+                print(f"[val] psnr_scl: {sc['psnr_scl']:.3f}, "
+                      f"ssim_scl: {sc['ssim_scl']:.3f}"
+                      f" | psnr_dif: {p - sc['psnr_scl']:.5f}"
+                      f" ssim_dif: {sv - sc['ssim_scl']:.6f}")
             rep = None
             if self.paths.gt_dir and getattr(ds, "scene", None) is not None:
                 depth = out.get("depth_fine", out["depth_coarse"])

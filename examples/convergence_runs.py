@@ -23,9 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_config(name, argv, logs):
+def run_config(name, argv, logs, ckpts):
+    import shutil
     from brdfnerf_tpu.cli.train import main as train_main
     print(f"==== {name} ====", flush=True)
+    # scalars.jsonl appends and stage-2 harvests the max epoch=N.npz; a
+    # rerun into the same workdir must not merge two runs' artifacts
+    shutil.rmtree(os.path.join(logs, name), ignore_errors=True)
+    shutil.rmtree(os.path.join(ckpts, name), ignore_errors=True)
     rc = train_main(argv)
     assert rc == 0, name
     # harvest the curve from scalars.jsonl
@@ -74,7 +79,7 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
                      "--ds_lambda", "10",
                      "--n_samples", "64",
                      "--lr", "5e-4", "--max_train_steps", "10000"] + common,
-        logs)
+        logs, ckpts)
 
     # config 3: s-nerf shadow-aware variant
     curves["s-nerf"] = run_config(
@@ -82,7 +87,7 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
                    "--sun_v", "learned", "--sc_lambda", "0.05",
                    "--n_samples", "64",
                    "--lr", "5e-4", "--max_train_steps", "10000"] + common,
-        logs)
+        logs, ckpts)
 
     # config 4: spsbrdf-nerf stage-1 Lambertian pretrain, ds_lambda=10
     # (README.md:99-110 at 1/10 steps)
@@ -90,7 +95,7 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
         "spsbrdf-stage1",
         ["--model", "spsbrdf-nerf", "--exp_name", "spsbrdf-stage1",
          "--ds_lambda", "10", "--n_samples", "64", "--guided_samples", "64",
-         "--lr", "5e-4", "--max_train_steps", "10000"] + common, logs)
+         "--lr", "5e-4", "--max_train_steps", "10000"] + common, logs, ckpts)
 
     s1_dir = os.path.join(ckpts, "spsbrdf-stage1")
     s1_last = max(int(f[len("epoch="):-len(".npz")])
@@ -107,7 +112,7 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
          "--funcM", "1", "--funcF", "1", "--funcH", "1",
          "--brdf_on", "0", "--cos_irra_on", "0",
          "--ds_lambda", "10", "--n_samples", "64", "--guided_samples", "64",
-         "--lr", "2.152e-4", "--max_train_steps", "8000"] + common, logs)
+         "--lr", "2.152e-4", "--max_train_steps", "8000"] + common, logs, ckpts)
 
     out = os.path.join(workdir, "curves.json")
     with open(out, "w") as f:
