@@ -108,3 +108,61 @@ def brf_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     if "albedo_accu_coarse" in res:
         out["albedo"] = np.asarray(res["albedo_accu_coarse"])
     return out
+
+
+def get_view_dirs(view_elevation_deg, view_azimuth_deg) -> np.ndarray:
+    """EXACT reference view-direction construction (eval.py:300-314
+    get_view_dirs): flatten the elevation/azimuth grids and map
+    (el, az) -> [sin(az)cos(el), cos(az)cos(el), sin(el)] (east-north-up;
+    azimuth clockwise from north).  Returns (N, 3) float32."""
+    view_el = np.radians(np.asarray(view_elevation_deg, np.float64)).ravel()
+    view_az = np.radians(np.asarray(view_azimuth_deg, np.float64)).ravel()
+    view_d = np.stack([np.sin(view_az) * np.cos(view_el),
+                       np.cos(view_az) * np.cos(view_el),
+                       np.sin(view_el)], axis=-1)
+    return view_d.astype(np.float32)
+
+
+def weighted_sample_sum(weights: np.ndarray, samples: np.ndarray):
+    """get_s (eval.py:316-318): sum over the samples axis of
+    weights[..., None] * samples — the rendered (expected-over-opacity)
+    value of a per-sample quantity."""
+    return np.sum(np.asarray(weights)[..., None] * np.asarray(samples),
+                  axis=-2)
+
+
+def pixel_param_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
+                      ray: np.ndarray, n_rays: int = 5,
+                      key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+    """Per-pixel BRDF-parameter readout (eval.py:320-363
+    eval_pixel_variedvw): tile the pixel's ray n_rays times (the reference
+    uses 5 to expose sampling jitter), render, and reduce each per-sample
+    head with the rendering weights — rpv_k / rpv_theta / rpv_rhoc,
+    L2-normalized analytic normal, albedo, plus the mean irradiance.
+
+    Returns {name: (n_rays, 3) array} (+ 'irradiance' scalar), with
+    'mean_<name>' scalars matching the reference's printed means."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ray = np.asarray(ray, np.float32)
+    rays = np.tile(ray[None], (n_rays, 1))
+    render_fn = _probe_render_fn(mcfg, rcfg)
+    res = render_fn(params, RenderInputs(rays=jnp.asarray(rays),
+                                         cos_irra_on=jnp.asarray(False)),
+                    key)
+    typ = "fine" if "rgb_fine" in res else "coarse"
+    w = np.asarray(res[f"weights_{typ}"])
+    out: Dict[str, np.ndarray] = {}
+    for name in ("rpv_k", "rpv_theta", "rpv_rhoc", "hpk_b", "hpk_c",
+                 "hpk_theta", "roughness", "albedo"):
+        if f"{name}_{typ}" in res:
+            out[name] = weighted_sample_sum(w, res[f"{name}_{typ}"])
+    if f"normal_an_{typ}" in res:
+        n = weighted_sample_sum(w, res[f"normal_an_{typ}"])
+        out["normal"] = n / np.maximum(
+            np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    if f"irradiance_{typ}" in res:
+        out["irradiance"] = np.asarray(res[f"irradiance_{typ}"])
+    for name, v in list(out.items()):
+        out[f"mean_{name}"] = np.mean(v, axis=0)
+    return out

@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--pixels", nargs="*", default=None,
                    help="row,col pairs; default = image center")
     p.add_argument("--n_views", type=int, default=33)
+    p.add_argument("--param_probe", action="store_true",
+                   help="also print the weighted-sum BRDF-parameter "
+                        "readout per pixel (rpv_k/theta/rhoc, normal, "
+                        "albedo; eval.py:320-363 eval_pixel_variedvw)")
     p.add_argument("--output_dir", default=None)
     args = p.parse_args(argv)
 
@@ -34,7 +38,7 @@ def main(argv=None):
     from .eval import _dummy_store
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
-    from ..analysis import brf_probe
+    from ..analysis import brf_probe, pixel_param_probe
     from ..data.satellite import SatelliteDataset
 
     ropts = opts_mod.load_opts(args.logs_dir)
@@ -59,6 +63,12 @@ def main(argv=None):
               if args.pixels else [(h // 2, w // 2)])
     for r, c in pixels:
         ray = s["rays"][r * w + c]
+        if args.param_probe:
+            pp_out = pixel_param_probe(params, cfg.model, cfg.render, ray)
+            print(f"-- param probe ({r},{c}):")
+            for name, v in sorted(pp_out.items()):
+                if name.startswith("mean_"):
+                    print(f"  {name[5:]}: {np.round(np.asarray(v), 5)}")
         out = brf_probe(params, cfg.model, cfg.render, ray,
                         n_views=args.n_views)
         curve = out.get("brf", out["rgb"])

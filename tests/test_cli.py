@@ -247,6 +247,6 @@ def test_brf_probe_cli(two_stage_run):
     run_dir = two_stage_run["s2_run_dir"]
     last = two_stage_run["s2_last"]
     assert probe_main(["--logs_dir", run_dir, "--epoch_number", str(last),
-                       "--n_views", "9"]) == 0
+                       "--n_views", "9", "--param_probe"]) == 0
     out = os.path.join(run_dir, f"brf_epoch{last}")
     assert any(f.endswith(".txt") for f in os.listdir(out))

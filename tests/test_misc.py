@@ -89,6 +89,35 @@ def test_brf_probe_shapes():
     # round-1 bug where every view collapsed to vza ~ 90 deg).
     assert np.ptp(out["brf"], axis=0).max() > 1e-4
 
+    # exact reference view-dir construction (eval.py:300-314): ENU with
+    # azimuth clockwise from north
+    from brdfnerf_tpu.analysis import get_view_dirs
+    d = get_view_dirs(np.asarray([90.0, 0.0, 0.0]),
+                      np.asarray([0.0, 0.0, 90.0]))
+    np.testing.assert_allclose(d[0], [0, 0, 1], atol=1e-7)   # zenith
+    np.testing.assert_allclose(d[1], [0, 1, 0], atol=1e-7)   # north
+    np.testing.assert_allclose(d[2], [1, 0, 0], atol=1e-7)   # east
+    el_grid, az_grid = np.meshgrid(np.arange(0, 90, 30),
+                                   np.arange(0, 360, 90))
+    dirs_g = get_view_dirs(el_grid, az_grid)
+    assert dirs_g.shape == (el_grid.size, 3)
+    np.testing.assert_allclose(np.linalg.norm(dirs_g, axis=1), 1.0,
+                               atol=1e-6)
+
+    # per-pixel parameter readout (eval.py:320-363): weighted-sum heads
+    from brdfnerf_tpu.analysis import pixel_param_probe
+    pp = pixel_param_probe(params, mcfg, rcfg, ray, n_rays=5)
+    for name in ("rpv_k", "rpv_theta", "rpv_rhoc", "albedo", "normal"):
+        assert pp[name].shape == (5, 3), name
+        assert np.isfinite(pp[name]).all(), name
+        assert np.isfinite(pp[f"mean_{name}"]).all(), name
+    np.testing.assert_allclose(np.linalg.norm(pp["normal"], axis=-1), 1.0,
+                               atol=1e-4)
+    # rendered rpv_k is a convex-ish combination of per-sample values
+    # (weights sum to <= 1 against a zero background): bounded by the
+    # head's value range [0, 2]
+    assert (pp["rpv_k"] >= 0).all() and (pp["rpv_k"] <= 2.0).all()
+
 
 def test_guards_roundtrip(capsys):
     from brdfnerf_tpu.utils import guards
