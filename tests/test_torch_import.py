@@ -283,3 +283,57 @@ def test_import_learned_sun_v_sky_mapping(ref_env, tmp_path):
         head, j = ok
         ours_w = np.asarray(params["coarse"][head][j]["w"])
         np.testing.assert_array_equal(ours_w, sd[tk].numpy().T)
+
+
+def test_export_to_reference_format(ref_model_and_ckpt, tmp_path):
+    """utils/torch_export: a checkpoint exported from our flat layout
+    drops back into the ACTUAL reference module via strict
+    load_state_dict, and import(export(x)) == x — the migration path is
+    bidirectional."""
+    import torch as t
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+    from brdfnerf_tpu.utils.torch_export import export_torch_checkpoint
+    from brdfnerf_tpu.utils.torch_import import import_torch_checkpoint
+
+    model, ckpt_path = ref_model_and_ckpt
+    flat = ckpt_mod.load_flat(ckpt_path)          # imported flat + __step__
+    out_path = str(tmp_path / "exported.ckpt")
+    export_torch_checkpoint(flat, out_path)
+
+    d = t.load(out_path, map_location="cpu", weights_only=True)
+    assert int(d["global_step"]) == 12345
+    stripped = {k[len("nerf_coarse."):]: v
+                for k, v in d["state_dict"].items()}
+    # strict: every reference module param present, nothing extra
+    model.load_state_dict(stripped, strict=True)
+    for k, v in model.state_dict().items():
+        np.testing.assert_array_equal(stripped[k].numpy(), v.numpy())
+
+    back = import_torch_checkpoint(out_path)
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(flat[k]), err_msg=k)
+
+
+def test_convert_ckpt_cli(ref_model_and_ckpt, tmp_path):
+    """convert_ckpt CLI: .ckpt -> .npz -> .ckpt round-trips through both
+    converters and both outputs load through checkpoint.load_flat."""
+    from brdfnerf_tpu.cli.convert_ckpt import main as conv
+    from brdfnerf_tpu.utils import checkpoint as ckpt_mod
+
+    _, ckpt_path = ref_model_and_ckpt
+    npz = str(tmp_path / "conv.npz")
+    back = str(tmp_path / "back.ckpt")
+    assert conv(["--input", ckpt_path, "--output", npz]) == 0
+    assert conv(["--input", npz, "--output", back]) == 0
+    # same-format pairs are rejected
+    assert conv(["--input", npz, "--output", npz]) == 2
+
+    a = ckpt_mod.load_flat(ckpt_path)
+    b = ckpt_mod.load_flat(npz)
+    c = ckpt_mod.load_flat(back)
+    assert set(a) == set(b) == set(c)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]),
+                                      err_msg=k)
