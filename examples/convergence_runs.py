@@ -55,8 +55,13 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
     from synth_aoi import build_aoi
 
     print("== building bumpy synthetic AOI (with BA keypoints) ==")
+    # 512 px images -> 524k-ray store -> 512 steps/epoch at batch 1024,
+    # so the 10k-step runs span ~20 epochs and the reference's per-epoch
+    # StepLR(0.9) follows its real-dataset geometry (lr_end ~ 7e-5, like
+    # the reference's ~17-epoch 100k-step runs). At the test AOI's 32 px
+    # the lr decays 0.9 every 2 steps and training freezes by step ~1000.
     aoi = build_aoi(os.path.join(workdir, "aoi"), with_keypoints=True,
-                    bumpy=True)
+                    bumpy=True, size=512)
     logs = os.path.join(workdir, "logs")
     ckpts = os.path.join(workdir, "ckpts")
     common = ["--root_dir", aoi["root"], "--logs_dir", logs,
@@ -64,10 +69,9 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
               "--aoi_id", aoi["aoi_id"], "--mapping",
               "--fc_feat", "512", "--fc_layers", "8",
               "--batch_size", "1024",
-              # store = 2048 rays -> 2 steps/epoch; validate every ~1000
-              # steps and checkpoint near the end
-              "--eval_every_n_epochs", "500",
-              "--save_ckpt_every_n_epochs", "2000"]
+              # validate every 2 epochs (~1000 steps); checkpoint every 4
+              "--eval_every_n_epochs", "2",
+              "--save_ckpt_every_n_epochs", "4"]
 
     curves = {}
 

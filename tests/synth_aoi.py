@@ -87,7 +87,27 @@ def localize_affine(rpc_d, cols, rows, alt):
 
 def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
               depth_subdir: str = "DenseDepth_ZM4",
-              with_keypoints: bool = False, bumpy: bool = False):
+              with_keypoints: bool = False, bumpy: bool = False,
+              size: int = None):
+    """size: image height/width in pixels (default the module's 32).
+    The ground FOOTPRINT is fixed by the RPC lat/lon scales, so size only
+    changes sampling density — larger sizes give realistic
+    steps-per-epoch so the per-epoch StepLR follows the reference's
+    schedule geometry (the convergence runs use this; at 32 px the lr
+    decays 0.9 every 2 steps and training freezes by step ~1000)."""
+    global H, W
+    old_hw = (H, W)
+    if size is not None:
+        H = W = int(size)
+    try:
+        return _build_aoi(root, n_train, n_test, depth_subdir,
+                          with_keypoints, bumpy)
+    finally:
+        H, W = old_hw
+
+
+def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
+               with_keypoints: bool, bumpy: bool):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
