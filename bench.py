@@ -112,6 +112,7 @@ def main():
         return
 
     loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
+    loop_chunked = measure_loop(mcfg, rcfg, tcfg, scan_chunk=16)
 
     print(json.dumps({
         **out,
@@ -122,10 +123,15 @@ def main():
         "loop_rays_per_sec": round(loop_rays_per_sec, 1),
         "loop_vs_baseline": round(loop_rays_per_sec / REFERENCE_RAYS_PER_SEC,
                                   3),
+        # same loop with --scan_chunk 16 (16 steps per dispatch, identical
+        # trajectory): amortizes the per-dispatch link latency
+        "loop_scan16_rays_per_sec": round(loop_chunked, 1),
+        "loop_scan16_vs_baseline": round(
+            loop_chunked / REFERENCE_RAYS_PER_SEC, 3),
     }))
 
 
-def measure_loop(mcfg, rcfg, tcfg) -> float:
+def measure_loop(mcfg, rcfg, tcfg, scan_chunk: int = 1) -> float:
     """End-to-end training-loop throughput via the REAL Trainer.fit loop:
     DeviceRayBatcher gather, H2D index transfer, TrainGates computation,
     host dispatch, periodic metric fetches (log_every=100) all included.
@@ -151,11 +157,15 @@ def measure_loop(mcfg, rcfg, tcfg) -> float:
                      val_dataset=None, seed=0)
         # warm-up: compile + pipeline fill. Cadence 0 = no epoch-end
         # validation/saves during training; the final save of each fit()
-        # lands after its own timing window closes
-        tr.fit(max_steps=40, log_every=100, eval_every_n_epochs=0,
-               save_ckpt_every_n_epochs=0, progress=False)
-        m = tr.fit(max_steps=340, log_every=100, eval_every_n_epochs=0,
-                   save_ckpt_every_n_epochs=0, progress=False)
+        # lands after its own timing window closes. 48/336 are multiples
+        # of 16 aligned with the 128-step epochs so a scan_chunk=16 run
+        # compiles exactly ONE chunk length
+        tr.fit(max_steps=48, log_every=100, eval_every_n_epochs=0,
+               save_ckpt_every_n_epochs=0, progress=False,
+               scan_chunk=scan_chunk)
+        m = tr.fit(max_steps=336, log_every=100, eval_every_n_epochs=0,
+                   save_ckpt_every_n_epochs=0, progress=False,
+                   scan_chunk=scan_chunk)
         return float(m["rays_per_sec"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -73,7 +73,8 @@ def main(argv=None):
                       test_sun_v=bool(args.test_sun_v))
     trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
-                save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs)
+                save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs,
+                scan_chunk=args.scan_chunk)
     return 0
 
 

@@ -263,15 +263,34 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     (sample-without-replacement) semantics are preserved exactly.
     """
 
-    def _gather(store, idx):
-        return jax.tree_util.tree_map(
-            lambda a: jnp.take(a, idx, axis=0), store)
+    one_step = _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule,
+                                has_kp)
 
     def step_fn(state: TrainState, store, idx, *rest):
         if has_kp:
             kp_store, kp_idx, base_key = rest
         else:
+            kp_store = kp_idx = None
             (base_key,) = rest
+        return one_step(state, store, idx, kp_store, kp_idx, base_key)
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, in_shardings=_fused_shardings(mesh, has_kp),
+                   out_shardings=_fused_out_shardings(mesh),
+                   donate_argnums=(0,))
+
+
+def _gather(store, idx):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.take(a, idx, axis=0), store)
+
+
+def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp):
+    """Shared body of the fused and scan-chunked steps: in-program store
+    gather, in-program gates/key from state.step, one optimizer update."""
+
+    def one_step(state, store, idx, kp_store, kp_idx, base_key):
         batch = _gather(store, idx)
         if has_kp:
             kb = _gather(kp_store, kp_idx)
@@ -292,9 +311,10 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
         metrics = {"loss": loss, **aux}
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+    return one_step
 
+
+def _fused_shardings(mesh, has_kp):
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -302,7 +322,65 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     if has_kp:
         shardings += [repl, data]            # kp_store, kp_idx
     shardings.append(repl)                   # base_key
-    return jax.jit(step_fn, in_shardings=tuple(shardings),
+    return tuple(shardings)
+
+
+def _fused_out_shardings(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    return (repl, repl)
+
+
+def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
+                         tcfg: TrainConfig, optimizer,
+                         schedule: GateSchedule, has_kp: bool = False,
+                         mesh=None):
+    """N fused steps per dispatch via lax.scan — same trajectory as N
+    calls of make_fused_train_step (identical index/key/gate sequences;
+    the body IS the fused step body), but the host pays ONE dispatch per
+    chunk, so end-to-end loop throughput approaches the chip's scan-bench
+    rate even behind a high-latency link.  The chunk length is a traced
+    dimension of idx_mat, so each distinct chunk size compiles once.
+
+    Signature: (state, store, idx_mat(N, batch),
+                [kp_store, kp_idx_mat(N, kp_batch),] base_key)
+    -> (state after N steps, metrics of the LAST step).
+
+    On a mesh, idx_mat shards its BATCH axis over 'data' (P(None, 'data'))
+    against the replicated store — same local-gather layout as the
+    single-step path.
+    """
+    one_step = _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule,
+                                has_kp)
+
+    def scan_fn(state: TrainState, store, idx_mat, *rest):
+        if has_kp:
+            kp_store, kp_idx_mat, base_key = rest
+            xs = (idx_mat, kp_idx_mat)
+        else:
+            kp_store = None
+            (base_key,) = rest
+            xs = (idx_mat,)
+
+        def body(st, x):
+            kp_idx = x[1] if has_kp else None
+            return one_step(st, store, x[0], kp_store, kp_idx, base_key)
+
+        state, ms = jax.lax.scan(body, state, xs)
+        last = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return state, last
+
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data2 = NamedSharding(mesh, P(None, "data"))
+    shardings = [repl, repl, data2]
+    if has_kp:
+        shardings += [repl, data2]
+    shardings.append(repl)
+    return jax.jit(scan_fn, in_shardings=tuple(shardings),
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
 

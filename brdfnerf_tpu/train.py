@@ -282,6 +282,31 @@ class Trainer:
                     mesh=self.mesh)
         return self._step_fns[phase]
 
+    def _gate_schedule(self):
+        from .parallel.train_step import GateSchedule
+        return GateSchedule(
+            t_cos_irra=float(self.t_cos_irra),
+            t_ds_drop=float(self.t_ds_drop),
+            t_nrrg=float(self.t_nrrg),
+            steps_per_epoch=int(self.steps_per_epoch),
+            first_beta_epoch=int(self.cfg.train.first_beta_epoch))
+
+    def _get_scan_fn(self, phase):
+        """Chunked variant of the fused step (make_scan_train_step): N
+        steps per dispatch; the chunk length is a traced dim, so each
+        distinct length compiles once per phase."""
+        key = ("scan", phase)
+        if key not in self._step_fns:
+            import dataclasses as dc
+            rcfg = dc.replace(self.cfg.render, apply_brdf=phase[0],
+                              apply_theta=phase[1], gsam_only=phase[2])
+            from .parallel.train_step import make_scan_train_step
+            self._step_fns[key] = make_scan_train_step(
+                self.cfg.model, rcfg, self.cfg.train, self.opt,
+                self._gate_schedule(),
+                has_kp=self.depth_batcher is not None, mesh=self.mesh)
+        return self._step_fns[key]
+
     def _gates(self, step: int, epoch: int) -> TrainGates:
         tcfg = self.cfg.train
         return TrainGates(
@@ -293,11 +318,30 @@ class Trainer:
 
     # ------------------------------------------------------------- train
 
+    def _next_phase_change(self, step: int) -> int:
+        """First step index > `step` at which a STATIC phase gate flips
+        (the `step > t` comparisons of _static_phase): a scan chunk must
+        not span it, because the compiled program changes there."""
+        nxt = 10 ** 18
+        for t in (self.t_brdf, self.t_theta, self.t_gsam_only):
+            flip = int(np.floor(t)) + 1
+            if flip > step:
+                nxt = min(nxt, flip)
+        return nxt
+
     def fit(self, max_steps: Optional[int] = None,
             log_every: int = 100, eval_every_n_epochs: int = 1,
             save_ckpt_every_n_epochs: int = 1,
-            progress: bool = True) -> Dict[str, float]:
+            progress: bool = True,
+            scan_chunk: Optional[int] = None) -> Dict[str, float]:
+        """scan_chunk > 1 (or BRDFNERF_SCAN_CHUNK): dispatch N fused steps
+        per host round-trip via lax.scan — identical trajectory (same
+        index/key/gate sequences), one dispatch per chunk; chunks clamp at
+        epoch boundaries and static-phase changes, and logging reports the
+        last step of the chunk containing each log point."""
         max_steps = max_steps or self.max_steps
+        if scan_chunk is None:
+            scan_chunk = int(os.environ.get("BRDFNERF_SCAN_CHUNK", "1"))
         t0 = time.perf_counter()
         last_metrics: Dict[str, float] = {}
         start = int(self.state.step)
@@ -307,20 +351,41 @@ class Trainer:
         # start+10 .. start+20 for TensorBoard's trace viewer
         profile_dir = os.environ.get("BRDFNERF_PROFILE")
         prof_window = (start + 10, start + 20) if profile_dir else None
-        for step in range(start, max_steps):
+        if prof_window:
+            scan_chunk = 1       # keep the trace's step<->program mapping
+        step = start
+        first = True
+        while step < max_steps:
             new_epoch = step // self.steps_per_epoch
-            if new_epoch != epoch or step == start:
-                if step > start:
+            if new_epoch != epoch or first:
+                if not first:
                     self._on_epoch_end(epoch, eval_every_n_epochs,
                                        save_ckpt_every_n_epochs)
                 epoch = new_epoch
+            first = False
             if prof_window and step == prof_window[0]:
                 jax.profiler.start_trace(profile_dir)
             if prof_window and step == prof_window[1]:
                 jax.profiler.stop_trace()
                 prof_window = None
-            step_fn = self._get_step_fn(self._static_phase(step))
-            if self.fused_loop:
+            phase = self._static_phase(step)
+            chunk = 1
+            if self.fused_loop and scan_chunk > 1:
+                chunk = min(scan_chunk, max_steps - step,
+                            (epoch + 1) * self.steps_per_epoch - step,
+                            self._next_phase_change(step) - step)
+            if self.fused_loop and chunk > 1:
+                idx_mat = np.stack([self.batcher.next_indices()
+                                    for _ in range(chunk)]).astype(np.int32)
+                args = [self.state, self.batcher.store, idx_mat]
+                if self.depth_batcher is not None:
+                    kp_mat = np.stack(
+                        [self.depth_batcher.next_indices()
+                         for _ in range(chunk)]).astype(np.int32)
+                    args += [self.depth_batcher.store, kp_mat]
+                args.append(self._base_key)
+                self.state, metrics = self._get_scan_fn(phase)(*args)
+            elif self.fused_loop:
                 # fused path: only the int32 index vector(s) cross H2D;
                 # on the mesh path jit's in_shardings place them P('data')
                 args = [self.state, self.batcher.store,
@@ -330,7 +395,7 @@ class Trainer:
                              self.depth_batcher.next_indices()
                              .astype(np.int32)]
                 args.append(self._base_key)
-                self.state, metrics = step_fn(*args)
+                self.state, metrics = self._get_step_fn(phase)(*args)
             else:
                 batch = self.batcher.next_batch()
                 if self.depth_batcher is not None:
@@ -344,20 +409,26 @@ class Trainer:
                     from .parallel.mesh import replicate
                     gates = replicate(self.mesh, gates)
                     k = replicate(self.mesh, k)
-                self.state, metrics = step_fn(self.state, batch, k, gates)
-            if step % log_every == 0 or step == max_steps - 1:
+                self.state, metrics = self._get_step_fn(phase)(
+                    self.state, batch, k, gates)
+            end = step + chunk - 1       # last executed step this chunk
+            # log when the chunk contains a multiple of log_every
+            # (chunk=1 reduces to the old `step % log_every == 0`)
+            if ((step - 1) // log_every != end // log_every
+                    or end == max_steps - 1):
                 metrics = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.perf_counter() - t0
-                rays_s = ((step - start + 1) * self.cfg.train.batch_size) / dt
+                rays_s = ((end - start + 1) * self.cfg.train.batch_size) / dt
                 metrics["rays_per_sec"] = rays_s
-                self.log.log(step, {f"train/{k2}": v
-                                    for k2, v in metrics.items()})
+                self.log.log(end, {f"train/{k2}": v
+                                   for k2, v in metrics.items()})
                 if progress:
-                    print(f"step {step:6d} epoch {epoch:3d} "
+                    print(f"step {end:6d} epoch {epoch:3d} "
                           f"loss {metrics['loss']:.4f} "
                           f"psnr {metrics['psnr']:.2f} "
                           f"{rays_s:,.0f} rays/s")
                 last_metrics = metrics
+            step = end + 1
         self._on_epoch_end(epoch, eval_every_n_epochs,
                            save_ckpt_every_n_epochs, final=True)
         return last_metrics

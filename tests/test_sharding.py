@@ -220,6 +220,56 @@ def test_fused_mesh_step_matches_plain_step():
                                    atol=5e-6, rtol=5e-5)
 
 
+def test_scan_chunk_matches_sequential_fused_steps():
+    """make_scan_train_step(N) produces the same state as N sequential
+    fused steps (same index/key/gate sequences; the scan body IS the
+    fused body) — single device and 8-device mesh."""
+    import optax
+    from brdfnerf_tpu.parallel.train_step import (
+        make_fused_train_step, make_scan_train_step, GateSchedule,
+        TrainState)
+    mcfg, rcfg, tcfg = _cfg()
+    store_np = _batch(512)
+    rng = np.random.RandomState(13)
+    idx_mat = np.stack([rng.permutation(512)[:128] for _ in range(4)]
+                       ).astype(np.int32)
+    base_key = jax.random.PRNGKey(5)
+    sched = GateSchedule(t_cos_irra=0.0, t_ds_drop=1e9, t_nrrg=-1.0,
+                         steps_per_epoch=100, first_beta_epoch=0)
+    opt = optax.sgd(1e-2)
+
+    def fresh_state():
+        st, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+        return TrainState(st.params, opt.init(st.params), st.step)
+
+    store = {k: jnp.asarray(v) for k, v in store_np.items()}
+    fused = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched)
+    s_seq = fresh_state()
+    for i in range(4):
+        s_seq, m_seq = fused(s_seq, store, jnp.asarray(idx_mat[i]),
+                             base_key)
+
+    scan = make_scan_train_step(mcfg, rcfg, tcfg, opt, sched)
+    s_scan, m_scan = scan(fresh_state(), store, idx_mat, base_key)
+
+    assert int(s_scan.step) == int(s_seq.step) == 4
+    assert abs(float(m_seq["loss"]) - float(m_scan["loss"])) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-6, rtol=1e-5)
+
+    mesh = make_mesh(8)
+    scan8 = make_scan_train_step(mcfg, rcfg, tcfg, opt, sched, mesh=mesh)
+    s8, m8 = scan8(replicate(mesh, fresh_state()), store_np, idx_mat,
+                   base_key)
+    assert abs(float(m8["loss"]) - float(m_scan["loss"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=5e-5)
+
+
 def test_trainer_with_mesh(tmp_path):
     """Trainer drives the sharded step end-to-end over the 8-device mesh."""
     from synth_aoi import build_aoi

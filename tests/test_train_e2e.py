@@ -61,6 +61,35 @@ def test_training_reduces_loss(datasets, aoi, tmp_path):
     assert ckpt.latest_checkpoint(paths.ckpts_dir) is not None
 
 
+def test_scan_chunk_trainer_fit(datasets, aoi, tmp_path):
+    """fit(scan_chunk=N) drives the chunked dispatch path end-to-end:
+    trains (loss drops), clamps chunks at epoch boundaries (epoch-end
+    checkpoints land exactly as with per-step dispatch), and the phase
+    flip from brdf_on mid-run compiles its own scan program."""
+    import dataclasses as dc
+    train_ds, val_ds = datasets
+    cfg = _run_cfg()
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model, func_m=True,
+                                           normal="analystic"),
+                     render=dc.replace(cfg.render, apply_brdf=True),
+                     train=dc.replace(cfg.train, brdf_on=0.2,
+                                      max_train_steps=120))
+    paths = TrainerPaths(logs_dir=str(tmp_path / "logs"),
+                         ckpts_dir=str(tmp_path / "ckpts"),
+                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+    tr = Trainer(cfg, train_ds.store, paths, val_dataset=None, seed=0)
+    first = tr.fit(max_steps=1, log_every=1, progress=False)
+    last = tr.fit(max_steps=120, log_every=50, progress=False,
+                  scan_chunk=7)    # does not divide epochs/log cadence
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"], (first, last)
+    assert int(tr.state.step) == 120
+    assert ckpt.latest_checkpoint(paths.ckpts_dir) is not None
+    # both the pre-flip and post-flip (apply_brdf) scan programs compiled
+    scan_keys = [k for k in tr._step_fns if k[0] == "scan"]
+    assert len(scan_keys) >= 2, tr._step_fns.keys()
+
+
 def test_validation_and_dsm(datasets, aoi, tmp_path):
     train_ds, val_ds = datasets
     cfg = _run_cfg(max_train_steps=200)
