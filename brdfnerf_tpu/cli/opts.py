@@ -151,6 +151,13 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast_sin", type=int, default=1,
                    help="polynomial siren activation (1.7e-5 abs err); "
                         "0 = exact jnp.sin for strict parity")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "bfloat16_all"],
+                   help="matmul compute dtype (ModelConfig.compute_dtype). "
+                        "'bfloat16' = bf16 MXU matmuls with f32 "
+                        "accumulation/activations; 'bfloat16_all' also "
+                        "keeps activations bf16 (the TPU production "
+                        "setting bench.py measures)")
     p.add_argument("--fused_trunk", type=int, default=None,
                    help="fused custom-VJP Pallas trunk for analytic-normal "
                         "configs (semantics-equivalent, gradient-parity "
@@ -239,7 +246,8 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         hapke_b0=args.hapke_b0, shell_hapke=args.shell_hapke,
         hpk_scl=args.hpk_scl, glossy_scale=args.glossy_scale,
         fresnel_f0=args.f0, multi_brdf=bool(args.multi_brdf),
-        fast_sin=bool(getattr(args, "fast_sin", 1)))
+        fast_sin=bool(getattr(args, "fast_sin", 1)),
+        compute_dtype=getattr(args, "compute_dtype", "float32"))
     brdf_requested = (args.roughness or args.func_m or args.func_f
                       or args.func_h or args.hapke_b or args.shell_hapke)
     rcfg = RenderConfig(

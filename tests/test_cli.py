@@ -131,6 +131,25 @@ def test_reference_readme_cmdline_parses():
             ["--root_dir", "/tmp", "--exp_name", "x", "--eval", "1"]))
 
 
+def test_compute_dtype_flag():
+    """--compute_dtype exposes ModelConfig.compute_dtype (the TPU bf16
+    production setting) through the CLI; absent in old opts.json it falls
+    back to float32."""
+    from brdfnerf_tpu.cli.opts import train_parser, postprocess, to_run_config
+    base = ["--root_dir", "/tmp", "--exp_name", "x"]
+    args = postprocess(train_parser().parse_args(
+        base + ["--compute_dtype", "bfloat16_all"]))
+    assert to_run_config(args).model.compute_dtype == "bfloat16_all"
+    assert to_run_config(postprocess(train_parser().parse_args(
+        base))).model.compute_dtype == "float32"
+    # old opts.json reloaded without the key (pre-flag runs) still builds
+    ns = postprocess(train_parser().parse_args(base))
+    delattr(ns, "compute_dtype")
+    assert to_run_config(ns).model.compute_dtype == "float32"
+    with pytest.raises(SystemExit):
+        train_parser().parse_args(base + ["--compute_dtype", "fp8"])
+
+
 def test_eval_freeze_all_mode(aoi, spsnerf_run, tmp_path):
     """--eval 1 + --in_ckpts: every parameter frozen — a training step
     changes nothing (reference load mode (c), main.py:91-96).  The
