@@ -140,8 +140,10 @@ def pixel_param_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     head with the rendering weights — rpv_k / rpv_theta / rpv_rhoc,
     L2-normalized analytic normal, albedo, plus the mean irradiance.
 
-    Returns {name: (n_rays, 3) array} (+ 'irradiance' scalar), with
-    'mean_<name>' scalars matching the reference's printed means."""
+    Returns {name: (n_rays, 3) array} with 'mean_<name>' rows matching
+    the reference's printed means, plus the raw (n_rays, n_samples, 3)
+    'irradiance' tensor and its all-axis 'mean_irradiance' scalar (the
+    mean PrintMMM reports at eval.py:357)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     ray = np.asarray(ray, np.float32)
@@ -161,8 +163,13 @@ def pixel_param_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         n = weighted_sample_sum(w, res[f"normal_an_{typ}"])
         out["normal"] = n / np.maximum(
             np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    if f"irradiance_{typ}" in res:
-        out["irradiance"] = np.asarray(res[f"irradiance_{typ}"])
     for name, v in list(out.items()):
         out[f"mean_{name}"] = np.mean(v, axis=0)
+    if f"irradiance_{typ}" in res:
+        # the reference prints PrintMMM stats of the raw (n_rays, n_samples,
+        # 3) irradiance tensor (eval.py:357); keep the tensor and reduce the
+        # mean over ALL axes so mean_irradiance is the same printed scalar
+        irr = np.asarray(res[f"irradiance_{typ}"])
+        out["irradiance"] = irr
+        out["mean_irradiance"] = np.mean(irr)
     return out

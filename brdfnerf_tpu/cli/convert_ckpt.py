@@ -35,6 +35,13 @@ def main(argv=None):
         print("error: exactly one of --input/--output must be a torch "
               ".ckpt/.pth and the other a native .npz", file=sys.stderr)
         return 2
+    # the non-torch side must really be .npz: np.savez would silently
+    # append '.npz' and write somewhere other than --output
+    native = args.output if src_torch else args.input
+    if not native.endswith(".npz"):
+        print(f"error: native-side path must end with .npz: {native}",
+              file=sys.stderr)
+        return 2
 
     if src_torch:
         from ..utils.torch_import import import_torch_checkpoint

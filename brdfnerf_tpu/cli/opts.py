@@ -44,11 +44,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_train_steps", type=int, default=300000)
     p.add_argument("--save_ckpt_every_n_epochs", type=int, default=1)
     p.add_argument("--eval_every_n_epochs", type=int, default=1)
-    p.add_argument("--scan_chunk", type=int, default=1,
+    p.add_argument("--scan_chunk", type=int, default=None,
                    help="TPU loop acceleration: dispatch N fused train "
                         "steps per host round-trip via lax.scan (same "
                         "trajectory; chunks clamp at epoch/phase "
-                        "boundaries). 1 = one dispatch per step")
+                        "boundaries). 1 = one dispatch per step; unset "
+                        "falls back to $BRDFNERF_SCAN_CHUNK, then 1")
     p.add_argument("--fc_feat", type=int, default=512)
     p.add_argument("--fc_layers", type=int, default=8)
     p.add_argument("--n_samples", type=int, default=64)

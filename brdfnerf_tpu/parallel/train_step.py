@@ -314,13 +314,17 @@ def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp):
     return one_step
 
 
-def _fused_shardings(mesh, has_kp):
+def _fused_shardings(mesh, has_kp, idx_spec=None):
+    """idx_spec: PartitionSpec of the index argument(s) — P('data') for
+    the single-step path, P(None, 'data') for the scan path's (N, batch)
+    index matrix; everything else is replicated."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    shardings = [repl, repl, data]           # state, store, idx
+    idx = NamedSharding(mesh, idx_spec if idx_spec is not None
+                        else P("data"))
+    shardings = [repl, repl, idx]            # state, store, idx
     if has_kp:
-        shardings += [repl, data]            # kp_store, kp_idx
+        shardings += [repl, idx]             # kp_store, kp_idx
     shardings.append(repl)                   # base_key
     return tuple(shardings)
 
@@ -373,15 +377,12 @@ def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     if mesh is None:
         return jax.jit(scan_fn, donate_argnums=(0,))
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = NamedSharding(mesh, P())
-    data2 = NamedSharding(mesh, P(None, "data"))
-    shardings = [repl, repl, data2]
-    if has_kp:
-        shardings += [repl, data2]
-    shardings.append(repl)
-    return jax.jit(scan_fn, in_shardings=tuple(shardings),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(scan_fn,
+                   in_shardings=_fused_shardings(mesh, has_kp,
+                                                 idx_spec=P(None, "data")),
+                   out_shardings=_fused_out_shardings(mesh),
+                   donate_argnums=(0,))
 
 
 def make_render_step(mcfg: ModelConfig, rcfg: RenderConfig, mesh=None,

@@ -265,16 +265,10 @@ class Trainer:
                 # the per-step key are all computed inside the program (see
                 # make_fused_train_step); with a mesh the gather reads the
                 # replicated store through a 'data'-sharded index vector
-                from .parallel.train_step import (make_fused_train_step,
-                                                  GateSchedule)
-                sched = GateSchedule(
-                    t_cos_irra=float(self.t_cos_irra),
-                    t_ds_drop=float(self.t_ds_drop),
-                    t_nrrg=float(self.t_nrrg),
-                    steps_per_epoch=int(self.steps_per_epoch),
-                    first_beta_epoch=int(self.cfg.train.first_beta_epoch))
+                from .parallel.train_step import make_fused_train_step
                 self._step_fns[phase] = make_fused_train_step(
-                    self.cfg.model, rcfg, self.cfg.train, self.opt, sched,
+                    self.cfg.model, rcfg, self.cfg.train, self.opt,
+                    self._gate_schedule(),
                     has_kp=self.depth_batcher is not None, mesh=self.mesh)
             else:
                 self._step_fns[phase] = make_train_step(

@@ -21,33 +21,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_utils import last_epoch_ckpt, run_config as _run_config
 
 
 def run_config(name, argv, logs, ckpts):
-    import shutil
-    from brdfnerf_tpu.cli.train import main as train_main
-    print(f"==== {name} ====", flush=True)
-    # scalars.jsonl appends and stage-2 harvests the max epoch=N.npz; a
-    # rerun into the same workdir must not merge two runs' artifacts
-    shutil.rmtree(os.path.join(logs, name), ignore_errors=True)
-    shutil.rmtree(os.path.join(ckpts, name), ignore_errors=True)
-    rc = train_main(argv)
-    assert rc == 0, name
-    # harvest the curve from scalars.jsonl
-    curve = []
-    with open(os.path.join(logs, name, "scalars.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            psnrs = [v for k, v in rec.items()
-                     if k.startswith("val/psnr_") and "all" not in k]
-            maes = [v for k, v in rec.items() if k.startswith("val/mae_")
-                    and "nr" not in k]
-            if psnrs:
-                curve.append({"step": rec["step"],
-                              "psnr": round(sum(psnrs) / len(psnrs), 2),
-                              "mae": (round(sum(maes) / len(maes), 3)
-                                      if maes else None)})
-    return curve
+    return _run_config(name, argv, logs, ckpts)["curve"]
 
 
 def main(workdir: str = "/tmp/brdfnerf_convergence"):
@@ -101,11 +81,7 @@ def main(workdir: str = "/tmp/brdfnerf_convergence"):
          "--ds_lambda", "10", "--n_samples", "64", "--guided_samples", "64",
          "--lr", "5e-4", "--max_train_steps", "10000"] + common, logs, ckpts)
 
-    s1_dir = os.path.join(ckpts, "spsbrdf-stage1")
-    s1_last = max(int(f[len("epoch="):-len(".npz")])
-                  for f in os.listdir(s1_dir)
-                  if f.startswith("epoch=") and ".opt." not in f)
-    s1_ckpt = os.path.join(s1_dir, f"epoch={s1_last}.npz")
+    s1_ckpt = last_epoch_ckpt(os.path.join(ckpts, "spsbrdf-stage1"))
 
     # config 5: spsbrdf-nerf stage-2 RPV-111 finetune with handoff
     # (README.md:113-133 at 1/10 steps, lr 2.152e-4)

@@ -31,32 +31,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def run_config(name, argv, logs, ckpts):
-    import shutil
-    from brdfnerf_tpu.cli.train import main as train_main
-    print(f"==== {name} ====", flush=True)
-    shutil.rmtree(os.path.join(logs, name), ignore_errors=True)
-    shutil.rmtree(os.path.join(ckpts, name), ignore_errors=True)
-    t0 = time.time()
-    rc = train_main(argv)
-    wall = time.time() - t0
-    assert rc == 0, name
-    curve = []
-    with open(os.path.join(logs, name, "scalars.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            psnrs = [v for k, v in rec.items()
-                     if k.startswith("val/psnr_") and "all" not in k]
-            maes = [v for k, v in rec.items() if k.startswith("val/mae_")
-                    and "nr" not in k]
-            if psnrs:
-                curve.append({"step": rec["step"],
-                              "psnr": round(sum(psnrs) / len(psnrs), 2),
-                              "mae": (round(sum(maes) / len(maes), 3)
-                                      if maes else None)})
-    return {"curve": curve, "wall_s": round(wall, 1)}
+from run_utils import last_epoch_ckpt, run_config
 
 
 def main(workdir: str = "/tmp/brdfnerf_fullscale"):
@@ -93,11 +70,7 @@ def main(workdir: str = "/tmp/brdfnerf_fullscale"):
          "--lr", "5e-4", "--max_train_steps", "100000"] + common,
         logs, ckpts)
 
-    s1_dir = os.path.join(ckpts, "stage1-100k")
-    s1_last = max(int(f[len("epoch="):-len(".npz")])
-                  for f in os.listdir(s1_dir)
-                  if f.startswith("epoch=") and ".opt." not in f)
-    s1_ckpt = os.path.join(s1_dir, f"epoch={s1_last}.npz")
+    s1_ckpt = last_epoch_ckpt(os.path.join(ckpts, "stage1-100k"))
 
     # Stage 2: RPV-111 finetune with handoff, 80k steps (README.md:113-133)
     results["stage2-80k"] = run_config(

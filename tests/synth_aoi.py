@@ -23,10 +23,13 @@ H = W = 32
 ZONE = 31
 
 
-def affine_rpc_dict(dlon_dalt=0.0, dlat_dalt=0.0):
+def affine_rpc_dict(dlon_dalt=0.0, dlat_dalt=0.0, hw=None):
     """col = 16 + 16*nlon + a13*nalt ... (col_scale = W/2 = 16),
     denominators 1.  The nalt terms tilt the view direction away from
-    nadir (different per image)."""
+    nadir (different per image).  hw=(h, w) overrides the module's 32 px
+    default (the ground footprint is fixed by the lat/lon scales; hw only
+    changes sampling density)."""
+    h, w = hw if hw is not None else (H, W)
     col_num = [0.0] * 20
     col_num[1] = 1.0            # nlon
     col_num[3] = dlon_dalt      # nalt cross-talk -> oblique view
@@ -36,9 +39,9 @@ def affine_rpc_dict(dlon_dalt=0.0, dlat_dalt=0.0):
     den = [0.0] * 20
     den[0] = 1.0
     return dict(
-        row_offset=H / 2.0, col_offset=W / 2.0,
+        row_offset=h / 2.0, col_offset=w / 2.0,
         lat_offset=LAT0, lon_offset=LON0, alt_offset=ALT0,
-        row_scale=H / 2.0, col_scale=W / 2.0,
+        row_scale=h / 2.0, col_scale=w / 2.0,
         lat_scale=2e-4, lon_scale=3e-4, alt_scale=100.0,
         row_num=row_num, row_den=den, col_num=col_num, col_den=den)
 
@@ -95,19 +98,13 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     steps-per-epoch so the per-epoch StepLR follows the reference's
     schedule geometry (the convergence runs use this; at 32 px the lr
     decays 0.9 every 2 steps and training freezes by step ~1000)."""
-    global H, W
-    old_hw = (H, W)
-    if size is not None:
-        H = W = int(size)
-    try:
-        return _build_aoi(root, n_train, n_test, depth_subdir,
-                          with_keypoints, bumpy)
-    finally:
-        H, W = old_hw
+    h = w = int(size) if size is not None else H
+    return _build_aoi(root, n_train, n_test, depth_subdir,
+                      with_keypoints, bumpy, h, w)
 
 
 def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
-               with_keypoints: bool, bumpy: bool):
+               with_keypoints: bool, bumpy: bool, h: int = H, w: int = W):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
@@ -117,24 +114,24 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
     # convention): a coarse grid in the common footprint
     kp_lon = kp_lat = None
     if with_keypoints:
-        kp_c, kp_r = np.meshgrid(np.arange(4, W - 4, 4),
-                                 np.arange(4, H - 4, 4))
-        kp_lon, kp_lat = localize_affine(affine_rpc_dict(), kp_c.ravel(),
-                                         kp_r.ravel(), ALT0)
+        kp_c, kp_r = np.meshgrid(np.arange(4, w - 4, 4),
+                                 np.arange(4, h - 4, 4))
+        kp_lon, kp_lat = localize_affine(affine_rpc_dict(hw=(h, w)),
+                                         kp_c.ravel(), kp_r.ravel(), ALT0)
         kp_ecef = np.stack(latlon_to_ecef(kp_lat, kp_lon,
                                           np.full_like(kp_lat, ALT0)), -1)
         np.save(os.path.join(root, "pts3d.npy"), kp_ecef)
     for i in range(n_train + n_test):
-        rpc_d = affine_rpc_dict(*tilts[i % len(tilts)])
+        rpc_d = affine_rpc_dict(*tilts[i % len(tilts)], hw=(h, w))
         img_name = f"img_{i:02d}.tif"
-        cols, rows = np.meshgrid(np.arange(W), np.arange(H))
+        cols, rows = np.meshgrid(np.arange(w), np.arange(h))
         lon, lat, alt = intersect_terrain(rpc_d, cols, rows, bumpy)
         tex = ground_texture(lon, lat)
         rgb = np.stack([tex, tex, tex]).astype(np.float32)
         rgb8 = (rgb * 255).astype(np.uint8)
         write_geotiff(os.path.join(root, img_name), rgb8,
                       GeoProfile(epsg=utm_epsg(ZONE, True)))
-        meta = dict(img=img_name, height=H, width=W, rpc=rpc_d,
+        meta = dict(img=img_name, height=h, width=w, rpc=rpc_d,
                     min_alt=MIN_ALT, max_alt=MAX_ALT,
                     sun_elevation=55.0, sun_azimuth=140.0 + 5 * i)
         if with_keypoints:
@@ -172,8 +169,8 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
         f.write("".join(n + "\n" for n in names[n_train:]))
 
     # GT lidar DSM over the AOI footprint (terrain_alt), resolution 1 m
-    rpc_d = affine_rpc_dict()
-    cols, rows = np.meshgrid([0, W - 1], [0, H - 1])
+    rpc_d = affine_rpc_dict(hw=(h, w))
+    cols, rows = np.meshgrid([0, w - 1], [0, h - 1])
     lon, lat = localize_affine(rpc_d, cols.ravel(), rows.ravel(), ALT0)
     e, n = utm_from_latlon(lat, lon, zone=ZONE)
     res = 1.0

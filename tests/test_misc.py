@@ -117,6 +117,12 @@ def test_brf_probe_shapes():
     # (weights sum to <= 1 against a zero background): bounded by the
     # head's value range [0, 2]
     assert (pp["rpv_k"] >= 0).all() and (pp["rpv_k"] <= 2.0).all()
+    # irradiance: raw per-sample tensor + all-axis scalar mean (the
+    # reference prints PrintMMM stats of the raw tensor, eval.py:357)
+    if "irradiance" in pp:
+        assert pp["irradiance"].shape[0] == 5
+        assert np.ndim(pp["mean_irradiance"]) == 0
+        assert np.isfinite(pp["mean_irradiance"])
 
 
 def test_guards_roundtrip(capsys):

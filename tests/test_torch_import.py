@@ -329,6 +329,10 @@ def test_convert_ckpt_cli(ref_model_and_ckpt, tmp_path):
     assert conv(["--input", npz, "--output", back]) == 0
     # same-format pairs are rejected
     assert conv(["--input", npz, "--output", npz]) == 2
+    # non-.npz native side is rejected (np.savez would silently append
+    # '.npz' and write somewhere other than --output)
+    assert conv(["--input", ckpt_path,
+                 "--output", str(tmp_path / "m.dat")]) == 2
 
     a = ckpt_mod.load_flat(ckpt_path)
     b = ckpt_mod.load_flat(npz)
