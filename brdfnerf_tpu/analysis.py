@@ -164,7 +164,12 @@ def pixel_param_probe(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         out["normal"] = n / np.maximum(
             np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     for name, v in list(out.items()):
-        out[f"mean_{name}"] = np.mean(v, axis=0)
+        # the reference prints ALL-axis scalar means for the scalar-valued
+        # heads (torch.mean(rpv_k_s), eval.py:353-355) but per-channel
+        # dim=0 means for normal/albedo (eval.py:356-357)
+        out[f"mean_{name}"] = (np.mean(v, axis=0)
+                               if name in ("normal", "albedo")
+                               else np.mean(v))
     if f"irradiance_{typ}" in res:
         # the reference prints PrintMMM stats of the raw (n_rays, n_samples,
         # 3) irradiance tensor (eval.py:357); keep the tensor and reduce the

@@ -317,7 +317,15 @@ class Trainer:
         (the `step > t` comparisons of _static_phase): a scan chunk must
         not span it, because the compiled program changes there."""
         nxt = 10 ** 18
-        for t in (self.t_brdf, self.t_theta, self.t_gsam_only):
+        rcfg = self.cfg.render
+        for t, enabled in ((self.t_brdf, rcfg.apply_brdf),
+                           (self.t_theta, rcfg.apply_theta),
+                           (self.t_gsam_only, rcfg.gsam_only)):
+            # a threshold whose render flag is off never changes the
+            # compiled program (_static_phase ANDs with the flag) — don't
+            # split the chunk stream (and force an extra compile) there
+            if not enabled:
+                continue
             flip = int(np.floor(t)) + 1
             if flip > step:
                 nxt = min(nxt, flip)
@@ -331,11 +339,17 @@ class Trainer:
         """scan_chunk > 1 (or BRDFNERF_SCAN_CHUNK): dispatch N fused steps
         per host round-trip via lax.scan — identical trajectory (same
         index/key/gate sequences), one dispatch per chunk; chunks clamp at
-        epoch boundaries and static-phase changes, and logging reports the
-        last step of the chunk containing each log point."""
+        epoch boundaries, static-phase changes and (when scan_chunk >
+        log_every) multiples of log_every, so every log point gets its own
+        row; with scan_chunk <= log_every logging reports the last step of
+        the chunk containing each log point."""
         max_steps = max_steps or self.max_steps
         if scan_chunk is None:
             scan_chunk = int(os.environ.get("BRDFNERF_SCAN_CHUNK", "1"))
+        if scan_chunk > 1 and not self.fused_loop:
+            print("[fit] scan_chunk ignored: the host-gather loop "
+                  "(BRDFNERF_NO_FUSED_LOOP=1) dispatches one step at a "
+                  "time", flush=True)
         t0 = time.perf_counter()
         last_metrics: Dict[str, float] = {}
         start = int(self.state.step)
@@ -368,6 +382,14 @@ class Trainer:
                 chunk = min(scan_chunk, max_steps - step,
                             (epoch + 1) * self.steps_per_epoch - step,
                             self._next_phase_change(step) - step)
+                if scan_chunk > log_every:
+                    # a chunk longer than the log cadence would swallow
+                    # log points (one row per chunk instead of one per
+                    # log_every); clamp so chunks END exactly on each
+                    # multiple of log_every and the logged metrics are
+                    # the logged step's own
+                    m = ((step + log_every - 1) // log_every) * log_every
+                    chunk = min(chunk, m - step + 1)
             if self.fused_loop and chunk > 1:
                 idx_mat = np.stack([self.batcher.next_indices()
                                     for _ in range(chunk)]).astype(np.int32)

@@ -111,6 +111,11 @@ def test_brf_probe_shapes():
         assert pp[name].shape == (5, 3), name
         assert np.isfinite(pp[name]).all(), name
         assert np.isfinite(pp[f"mean_{name}"]).all(), name
+        # mean convention matches the reference prints: all-axis scalars
+        # for the scalar heads (torch.mean(rpv_k_s), eval.py:353-355),
+        # per-channel dim=0 for normal/albedo (eval.py:356-357)
+        want = (3,) if name in ("normal", "albedo") else ()
+        assert np.shape(pp[f"mean_{name}"]) == want, name
     np.testing.assert_allclose(np.linalg.norm(pp["normal"], axis=-1), 1.0,
                                atol=1e-4)
     # rendered rpv_k is a convex-ish combination of per-sample values

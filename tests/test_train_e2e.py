@@ -90,6 +90,38 @@ def test_scan_chunk_trainer_fit(datasets, aoi, tmp_path):
     assert len(scan_keys) >= 2, tr._step_fns.keys()
 
 
+def test_scan_chunk_log_cadence_and_inactive_phase(datasets, aoi, tmp_path):
+    """A scan chunk larger than log_every clamps so each log point gets
+    its own scalars row at exactly its own step; and a brdf_on threshold
+    whose render flag is OFF (apply_brdf=False) neither splits the chunk
+    stream nor compiles a second scan program."""
+    import dataclasses as dc
+    import json
+    train_ds, val_ds = datasets
+    cfg = _run_cfg()
+    # brdf_on mid-run but apply_brdf stays False -> static phase constant
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, brdf_on=0.5,
+                                           max_train_steps=100))
+    paths = TrainerPaths(logs_dir=str(tmp_path / "logs"),
+                         ckpts_dir=str(tmp_path / "ckpts"),
+                         gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+    tr = Trainer(cfg, train_ds.store, paths, val_dataset=None, seed=0)
+    assert tr._next_phase_change(0) == 10 ** 18   # no active static gate
+    tr.fit(max_steps=100, log_every=10, progress=False, scan_chunk=64)
+    logged = []
+    with open(os.path.join(paths.logs_dir, "scalars.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train/loss" in rec:
+                logged.append(rec["step"])
+    # one row per multiple of log_every, stamped at the log point itself
+    # (plus the final step, which the loop always logs)
+    assert [s for s in logged if s != 99] == list(range(0, 100, 10)), logged
+    # exactly ONE scan program (the 0.5*max_steps threshold is inert)
+    scan_keys = [k for k in tr._step_fns if k[0] == "scan"]
+    assert len(scan_keys) == 1, tr._step_fns.keys()
+
+
 def test_validation_and_dsm(datasets, aoi, tmp_path):
     train_ds, val_ds = datasets
     cfg = _run_cfg(max_train_steps=200)
