@@ -30,12 +30,8 @@ from typing import List, Optional, Tuple
 
 
 def _find_rpc_sidecar(img_path: str) -> Optional[str]:
-    stem = os.path.splitext(img_path)[0]
-    for cand in (stem + ".rpc", stem + ".RPB", stem + "_rpc.txt",
-                 stem + ".rpc_adj"):
-        if os.path.exists(cand):
-            return cand
-    return None
+    from .. import dataset_gen as dg
+    return dg.find_rpc_sidecar(img_path)
 
 
 def main(argv=None) -> int:

@@ -237,7 +237,26 @@ def run_ba(img_dir: str, output_dir: str) -> Optional[str]:
     if not myimages:
         print(f"[dataset_gen] no .tif images under {img_dir}; skipping BA")
         return None
-    myrpcs = [rpcm.rpc_from_geotiff(p) for p in myimages]
+    # RPC source: embedded GeoTIFF tags like the reference
+    # (generate_dataset.py:50), falling back to the RPC00B sidecars this
+    # CLI supports (provider imagery often ships RPCs as sidecars, and
+    # our own GeoTIFF codec does not embed RPC tags); either way a
+    # missing RPC degrades to skipping BA instead of crashing
+    myrpcs = []
+    for p in myimages:
+        try:
+            myrpcs.append(rpcm.rpc_from_geotiff(p))
+            continue
+        except Exception as e:
+            sidecar = find_rpc_sidecar(p)
+            if sidecar is None:
+                print(f"[dataset_gen] no RPC for {p} (geotiff tags: {e}; "
+                      f"no sidecar); skipping BA")
+                return None
+        # rpcm's native dict field names match parse_rpc_file's output
+        # (row_offset/col_scale/... + row_num/..., rpcm rpc_model.py)
+        myrpcs.append(rpcm.RPCModel(parse_rpc_file(sidecar),
+                                    dict_format="rpcm"))
     input_images = [SatelliteImage(fn, rpc)
                     for fn, rpc in zip(myimages, myrpcs)]
     ba_input_data = {
@@ -309,6 +328,7 @@ def apply_ba_to_dataset(root_dir: str, ba_output_dir: str) -> int:
         rpc_adj = adjusted_rpc_from_ba(ba_output_dir, img_id)
         if rpc_adj is not None:
             d["rpc"] = rpc_adj
+        cam_idx = None
         try:
             cam_idx = basenames.index(d.get("img", img_id + ".tif"))
         except ValueError:
@@ -316,10 +336,20 @@ def apply_ba_to_dataset(root_dir: str, ba_output_dir: str) -> int:
                 cam_idx = [os.path.splitext(b)[0]
                            for b in basenames].index(img_id)
             except ValueError:
-                continue
-        sel = cam_ind == cam_idx
-        d["keypoints"] = {"2d_coordinates": pts2d[sel].tolist(),
-                          "pts3d_indices": pts_ind[sel].tolist()}
+                pass
+        if cam_idx is not None:
+            sel = cam_ind == cam_idx
+            d["keypoints"] = {"2d_coordinates": pts2d[sel].tolist(),
+                              "pts3d_indices": pts_ind[sel].tolist()}
+        if rpc_adj is None and cam_idx is None:
+            continue          # BA knows nothing about this image
+        if cam_idx is None:
+            # the adjusted RPC still counts — don't silently drop it
+            # (BA can prune a camera from cam_prev_indices yet emit its
+            # refined RPC)
+            print(f"[dataset_gen] {img_id}: rpcs_adj applied but no "
+                  f"camera index in geotiff_paths.txt — keypoints not "
+                  f"attached")
         with open(jp, "w") as f:
             json_mod.dump(d, f, indent=2)
         n += 1
@@ -345,6 +375,17 @@ _RPC_FIELDS = {
     "LAT_SCALE": "lat_scale", "LONG_SCALE": "lon_scale",
     "HEIGHT_SCALE": "alt_scale",
 }
+
+
+def find_rpc_sidecar(img_path: str) -> Optional[str]:
+    """RPC00B text sidecar next to an image, in discovery order:
+    <stem>.rpc / <stem>.RPB / <stem>_rpc.txt / <stem>.rpc_adj."""
+    stem = os.path.splitext(img_path)[0]
+    for cand in (stem + ".rpc", stem + ".RPB", stem + "_rpc.txt",
+                 stem + ".rpc_adj"):
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def parse_rpc_file(path: str) -> Dict:

@@ -90,7 +90,8 @@ def scale_images(img1, img2):
     return img1 / max_, img2 / max_
 
 
-def masked_scores(rgb, gt, mask=None, scl: bool = False):
+def masked_scores(rgb, gt, mask=None, scl: bool = False,
+                  with_unmasked: bool = False):
     """The reference's masked PSNR/SSIM scoring convention, in ONE place
     for both the validation loop and the eval CLI (main.py:603-607,
     eval.py:469-471):
@@ -98,20 +99,25 @@ def masked_scores(rgb, gt, mask=None, scl: bool = False):
       psnr      masked per-element (valid_mask into the MSE mean)
       ssim      ssim(pred*mask, gt*mask) — both images premultiplied, so
                 max_val = max(gt*mask)
-      *_all     the unmasked pair tracked alongside (psnr_all/ssim_all)
+      *_all     with_unmasked=True: the unmasked pair tracked alongside
+                (psnr_all/ssim_all) — the VALIDATION loop's diagnostic
+                (main.py:604-606); the reference's eval CLI computes only
+                the masked pair, so eval leaves this off
       *_scl     optional max(gt)-rescaled variants (sclimg), same masking
 
     mask: (H, W, 1) array or None (then masked == unmasked).
     Returns a dict of python floats.
     """
-    p_all = float(psnr(rgb, gt))
-    s_all = float(ssim(rgb, gt))
     if mask is not None:
         p = float(psnr(rgb, gt, mask))
         s = float(ssim(rgb * mask, gt * mask))
     else:
-        p, s = p_all, s_all
-    out = {"psnr": p, "ssim": s, "psnr_all": p_all, "ssim_all": s_all}
+        p = float(psnr(rgb, gt))
+        s = float(ssim(rgb, gt))
+    out = {"psnr": p, "ssim": s}
+    if with_unmasked:
+        out["psnr_all"] = p if mask is None else float(psnr(rgb, gt))
+        out["ssim_all"] = s if mask is None else float(ssim(rgb, gt))
     if scl:
         rgb_s, gt_s = scale_images(rgb, gt)
         out["psnr_scl"] = float(psnr(rgb_s, gt_s, mask))

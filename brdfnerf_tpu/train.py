@@ -607,7 +607,8 @@ class Trainer:
             # masked metrics are the primary scalars, unmasked pair
             # alongside (main.py:604-607,668); scl cadence at epoch 2
             # (main.py:603,668-672). Convention lives in metrics.
-            sc = masked_scores(rgb_j, gt_j, mval, scl=(epoch == 2))
+            sc = masked_scores(rgb_j, gt_j, mval, scl=(epoch == 2),
+                               with_unmasked=True)
             p, sv = sc["psnr"], sc["ssim"]
             tag = "val" if is_val else "train_"
             scal = {f"{tag}/psnr_{idx}": p, f"{tag}/ssim_{idx}": sv,
@@ -661,7 +662,11 @@ class Trainer:
                     print(f"[val] panel save failed: {e}")
             all_scalars.update(scal)
         self.log.log(int(self.state.step), all_scalars)
-        vals = [v for k2, v in all_scalars.items() if k2.startswith("val/psnr")]
+        # masked convention only: psnr_all_* (unmasked) and *_scl stay out
+        # of the printed mean (on masked AOIs they are a different metric)
+        vals = [v for k2, v in all_scalars.items()
+                if k2.startswith("val/psnr_")
+                and "all" not in k2 and "scl" not in k2]
         if vals:
             print(f"[val] epoch {epoch} mean psnr {np.mean(vals):.2f}")
         return all_scalars

@@ -330,7 +330,23 @@ def test_run_ba_orchestration_roundtrip(aoi, tmp_path):
     sys.modules["bundle_adjust"].ba_pipeline = \
         sys.modules["bundle_adjust.ba_pipeline"]
     sys.modules["bundle_adjust"].loader = sys.modules["bundle_adjust.loader"]
-    sys.modules["rpcm"].rpc_from_geotiff = lambda p: {"path": p}
+    # img_02 exercises the sidecar fallback: its "geotiff tags" raise
+    # (our codec does not embed RPC00B tags) and a .rpc sidecar exists
+    with open(os.path.join(root, "img_02.rpc"), "w") as f:
+        f.write(_rpc00b_text(affine_rpc_dict(*tilts[2])))
+
+    def rpc_from_geotiff(p):
+        if p.endswith("img_02.tif"):
+            raise ValueError("no RPC tags in geotiff")
+        return {"path": p}
+
+    class RPCModel:
+        def __init__(self, d, dict_format="geotiff"):
+            assert dict_format == "rpcm"
+            self.d = d
+
+    sys.modules["rpcm"].rpc_from_geotiff = rpc_from_geotiff
+    sys.modules["rpcm"].RPCModel = RPCModel
     try:
         out = dg.run_ba(root, str(tmp_path / "ba"))
     finally:
@@ -369,3 +385,28 @@ def test_run_ba_orchestration_roundtrip(aoi, tmp_path):
     assert n_rays == 2 * lon.size
     assert sp["depths"].shape == (n_rays, 2)
     assert np.isfinite(sp["depths"]).all()
+
+    # a camera pruned from geotiff_paths.txt (BA can drop a camera from
+    # cam_prev_indices yet still emit its refined RPC) keeps its
+    # rpcs_adj: the JSON is written with the adjusted rpc, keypoints
+    # simply not attached
+    root2 = str(tmp_path / "root2")
+    os.makedirs(root2)
+    for i in range(3):
+        for ext in (".tif", ".json"):
+            shutil.copyfile(os.path.join(aoi["root"], f"img_{i:02d}{ext}"),
+                            os.path.join(root2, f"img_{i:02d}{ext}"))
+    ba2 = str(tmp_path / "ba2")
+    shutil.copytree(out, ba2)
+    paths2 = os.path.join(ba2, "ba_files", "ba_params",
+                          "geotiff_paths.txt")
+    with open(paths2) as f:
+        kept = [l for l in f.read().splitlines() if "img_01" not in l]
+    with open(paths2, "w") as f:
+        f.write("\n".join(kept) + "\n")
+    assert dg.apply_ba_to_dataset(root2, ba2) == 3
+    with open(os.path.join(root2, "img_01.json")) as f:
+        m1 = json.load(f)
+    adj = dg.adjusted_rpc_from_ba(ba2, "img_01")
+    assert m1["rpc"] == adj          # NOT silently dropped
+    assert "keypoints" not in m1

@@ -130,6 +130,26 @@ def test_brf_probe_shapes():
         assert np.isfinite(pp["mean_irradiance"])
 
 
+def test_masked_scores_key_contract():
+    """masked_scores: the unmasked *_all pair is the VALIDATION loop's
+    diagnostic (main.py:604-606) and opt-in; the eval CLI computes only
+    the masked pair like the reference's eval.py:469-471."""
+    from brdfnerf_tpu.metrics import masked_scores
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(0, 0.8, (9, 9, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1
+                   ).astype(np.float32)
+    mask = (rng.uniform(size=(9, 9, 1)) > 0.4).astype(np.float32)
+    sc = masked_scores(jnp.asarray(pred), jnp.asarray(gt),
+                       jnp.asarray(mask), scl=True)
+    assert set(sc) == {"psnr", "ssim", "psnr_scl", "ssim_scl"}
+    scu = masked_scores(jnp.asarray(pred), jnp.asarray(gt),
+                        jnp.asarray(mask), with_unmasked=True)
+    assert set(scu) == {"psnr", "ssim", "psnr_all", "ssim_all"}
+    assert scu["psnr"] != scu["psnr_all"]    # masking changes the metric
+    assert scu["psnr"] == sc["psnr"] and scu["ssim"] == sc["ssim"]
+
+
 def test_guards_roundtrip(capsys):
     from brdfnerf_tpu.utils import guards
     x = jnp.asarray([1.0, jnp.nan, jnp.inf])
