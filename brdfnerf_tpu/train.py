@@ -226,6 +226,7 @@ class Trainer:
         # new program instead of silently reusing the first one, and the
         # per-epoch cross-section dump reuses one compiled fn for the run
         self._render_fns: Dict[Any, Any] = {}
+        self._scan_render_fns: Dict[Any, Any] = {}
         self._key = jax.random.PRNGKey(seed + 1)
         # fused-path RNG root: the per-step key is fold_in(base, step) on
         # device, so resume reproduces the same key sequence
@@ -499,11 +500,18 @@ class Trainer:
                              and self.cfg.render.apply_theta),
                 force_sun_march=(self.cfg.render.force_sun_march
                                  or self.test_sun_v))
-        render_fn = self._get_render_fn(rcfg)
         rays = sample["rays"]
         n = rays.shape[0]
-        outs: Dict[str, List[np.ndarray]] = {}
         key = jax.random.PRNGKey(0)
+        # default: ALL chunks render inside one jitted lax.scan dispatch
+        # (make_scan_render_step) — the chunked host loop below round-trips
+        # once per chunk and on a high-latency link that latency dominates
+        # (~5 min vs <1 min for a 2.56M-ray image through the TPU tunnel).
+        # BRDFNERF_NO_SCAN_RENDER=1 restores the loop for A/B.
+        if os.environ.get("BRDFNERF_NO_SCAN_RENDER", "") != "1":
+            return self._render_image_scan(rcfg, rays, n, chunk, t, key)
+        render_fn = self._get_render_fn(rcfg)
+        outs: Dict[str, List[np.ndarray]] = {}
         # on a mesh, chunk rays shard over the data axis (committed input
         # shardings drive the jitted render's SPMD partitioning — the
         # make_render_step contract); single-device otherwise
@@ -539,6 +547,29 @@ class Trainer:
                        else jnp.sum(w[..., None] * res[k2], axis=-2))
                 outs.setdefault(k2, []).append(np.asarray(acc)[:keep])
         return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
+
+    def _render_image_scan(self, rcfg: RenderConfig, rays: np.ndarray,
+                           n: int, chunk: int, t: int, key):
+        """One-dispatch full-image render (see render_image): rays padded
+        to n_chunks*chunk, reshaped (n_chunks, chunk, D), scanned on
+        device; jit retraces per (n_chunks, chunk) shape."""
+        if rcfg not in self._scan_render_fns:
+            from .parallel.train_step import make_scan_render_step
+            self._scan_render_fns[rcfg] = make_scan_render_step(
+                self.cfg.model, rcfg, self.PER_RAY_KEYS, self.PANEL_ACCUM,
+                mesh=self.mesh)
+        n_chunks = max(1, -(-n // chunk))
+        total = n_chunks * chunk
+        rays_p = (np.concatenate([rays, np.tile(rays[-1:],
+                                                (total - n, 1))], 0)
+                  if total > n else np.asarray(rays))
+        rays_mat = rays_p.reshape(n_chunks, chunk, -1).astype(np.float32)
+        ts_mat = np.full((n_chunks, chunk), t, np.int32)
+        outs = self._scan_render_fns[rcfg](
+            self.state.params, rays_mat, ts_mat,
+            jnp.asarray(self.cfg.train.cos_irra_on < 1.0), key)
+        return {k: np.asarray(v).reshape(total, *v.shape[2:])[:n]
+                for k, v in outs.items()}
 
     # per-ray result keys fetched verbatim by render_image
     # fine-model outputs are harvested too (guarded by `in res`): metric

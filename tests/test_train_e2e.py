@@ -122,6 +122,39 @@ def test_scan_chunk_log_cadence_and_inactive_phase(datasets, aoi, tmp_path):
     assert len(scan_keys) == 1, tr._step_fns.keys()
 
 
+def test_scan_render_matches_chunk_loop(datasets, aoi, tmp_path,
+                                        monkeypatch):
+    """render_image's one-dispatch lax.scan path returns the same maps
+    as the chunk-per-dispatch host loop (all per-ray keys and reduced
+    panel fields), including the padded last chunk."""
+    import dataclasses as dc
+    train_ds, val_ds = datasets
+    cfg = _run_cfg()
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model, func_m=True,
+                                           normal="analystic"),
+                     render=dc.replace(cfg.render, apply_brdf=True))
+    paths = TrainerPaths(logs_dir=str(tmp_path / "logs"),
+                         ckpts_dir=str(tmp_path / "ckpts"))
+    tr = Trainer(cfg, train_ds.store, paths, val_dataset=val_ds, seed=0)
+    tr.fit(max_steps=5, log_every=100, eval_every_n_epochs=0,
+           save_ckpt_every_n_epochs=0, progress=False)
+    s = val_ds.get_image(0)
+    # chunk 100 does not divide 1024 rays -> exercises the padded tail
+    monkeypatch.delenv("BRDFNERF_NO_SCAN_RENDER", raising=False)
+    scan_out = tr.render_image(s, chunk=100)
+    monkeypatch.setenv("BRDFNERF_NO_SCAN_RENDER", "1")
+    loop_out = tr.render_image(s, chunk=100)
+    assert set(scan_out) == set(loop_out)
+    assert "rgb_coarse" in scan_out and "normal_an_coarse" in scan_out
+    for k in loop_out:
+        assert scan_out[k].shape == loop_out[k].shape, k
+        # normals come from jax.grad of the trunk; scan vs loop fuse
+        # differently in XLA and round at ~1e-4 in f32
+        atol = 1e-3 if "normal" in k else 1e-5
+        np.testing.assert_allclose(scan_out[k], loop_out[k],
+                                   rtol=1e-4, atol=atol, err_msg=k)
+
+
 def test_validation_and_dsm(datasets, aoi, tmp_path):
     train_ds, val_ds = datasets
     cfg = _run_cfg(max_train_steps=200)
