@@ -113,6 +113,8 @@ def main():
 
     loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
     loop_chunked = measure_loop(mcfg, rcfg, tcfg, scan_chunk=16)
+    # carry[0] = live post-scan params (state.params was donated away)
+    serve = measure_serve(mcfg, rcfg, carry[0])
 
     print(json.dumps({
         **out,
@@ -128,7 +130,36 @@ def main():
         "loop_scan16_rays_per_sec": round(loop_chunked, 1),
         "loop_scan16_vs_baseline": round(
             loop_chunked / REFERENCE_RAYS_PER_SEC, 3),
+        # end-to-end serving: a 524k-ray image rendered as ONE scan
+        # dispatch (Trainer.render_image's default path), full fetch
+        "serve_rays_per_sec": round(serve, 1),
     }))
+
+
+def measure_serve(mcfg, rcfg, params) -> float:
+    """Forward-only serving throughput via the one-dispatch scan render
+    (make_scan_render_step): 32 chunks x 16384 rays rendered in one
+    jitted program, rgb+depth fetched — the end-to-end image-render rate
+    a serving host sees."""
+    from brdfnerf_tpu.parallel.train_step import make_scan_render_step
+    n_chunks, chunk = 32, 16384
+    fn = make_scan_render_step(mcfg, rcfg,
+                               ("rgb_coarse", "depth_coarse"), {})
+    batch = _loop_store(n_chunks * chunk)
+    rays_mat = jnp.asarray(np.asarray(batch["rays"], np.float32)
+                           .reshape(n_chunks, chunk, -1))
+    ts_mat = jnp.zeros((n_chunks, chunk), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    outs = fn(params, rays_mat, ts_mat, jnp.asarray(False), key)
+    _ = np.asarray(outs["rgb_coarse"])      # compile + warm, full fetch
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        outs = fn(params, rays_mat, ts_mat, jnp.asarray(False), key)
+        _ = (np.asarray(outs["rgb_coarse"]),
+             np.asarray(outs["depth_coarse"]))
+        times.append(time.perf_counter() - t0)
+    return (n_chunks * chunk) / min(times)
 
 
 def measure_loop(mcfg, rcfg, tcfg, scan_chunk: int = 1) -> float:
