@@ -232,7 +232,8 @@ def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path):
     out1 = tr.render_image(s)
     rc2 = dc.replace(cfg.render, n_samples=cfg.render.n_samples * 4)
     out2 = tr.render_image(s, rcfg=rc2)
-    assert len(tr._render_fns) == 2
+    # default render path is the scan render; its cache keys by rcfg
+    assert len(tr._scan_render_fns) == 2
     # the second config provably drives the render: 4x samples changes depth
     assert not np.allclose(out1["depth_coarse"], out2["depth_coarse"])
 
