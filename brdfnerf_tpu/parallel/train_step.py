@@ -401,24 +401,43 @@ def make_render_step(mcfg: ModelConfig, rcfg: RenderConfig, mesh=None,
     return jax.jit(fn)
 
 
+def reduce_panels(res: Dict, panel_accum) -> Dict:
+    """Per-sample (N, S, C) panel fields -> per-ray maps: weighted sum
+    along samples ('wsum') or plain mean ('mean').  Shared by the scan
+    render body and Trainer.render_image's chunk loop so the two paths
+    cannot drift."""
+    out = {}
+    w = res.get("weights_coarse")
+    if w is None:
+        return out
+    items = (panel_accum.items() if isinstance(panel_accum, dict)
+             else panel_accum)
+    for k, how in items:
+        if k in res:
+            out[k] = (jnp.mean(res[k], axis=-2) if how == "mean"
+                      else jnp.sum(w[..., None] * res[k], axis=-2))
+    return out
+
+
 def make_scan_render_step(mcfg: ModelConfig, rcfg: RenderConfig,
                           per_ray_keys, panel_accum, mesh=None):
-    """Full-image render as ONE dispatch: a lax.scan over ray chunks
-    inside a single jitted program.  The chunked-loop path dispatches one
-    chunk per host round-trip and synchronously fetches each result — on
-    a high-latency host link that latency dominates the render (e.g. 157
-    dispatches for a 2.56M-ray image).  Here every chunk renders in one
-    program and only the per-RAY products come back: per-sample
-    (chunk, S, C) panel fields are reduced to per-ray maps in-program
-    (weighted sum / mean along samples, same reduction as
-    Trainer.render_image's loop), so the output buffer is O(rays), not
-    O(rays*samples).
+    """Block render: a lax.scan over ray chunks inside a single jitted
+    program.  The chunked-loop path dispatches one chunk per host
+    round-trip and synchronously fetches each result — on a high-latency
+    host link that latency dominates the render (e.g. 500 dispatches for
+    a 2.56M-ray image at chunk 5120).  Here a whole BLOCK of chunks
+    renders per dispatch and only the per-RAY products come back:
+    per-sample (chunk, S, C) panel fields are reduced to per-ray maps
+    in-program (reduce_panels, same reduction as Trainer.render_image's
+    loop), so the output buffer is O(rays), not O(rays*samples).
 
     fn(params, rays_mat, ts_mat, cos_irra_on, key) with rays_mat
     (n_chunks, chunk, 8|11) and ts_mat (n_chunks, chunk) int32; the same
     key is reused for every chunk, exactly like the chunked loop.
     Returns {key: (n_chunks, chunk, ...)} for per_ray_keys present plus
-    reduced panel_accum fields.  One compile per (n_chunks, chunk)."""
+    reduced panel_accum fields.  One compile per (n_chunks, chunk) shape
+    — Trainer.render_image calls it with FIXED-size blocks so any image
+    of >= block_size chunks reuses one compiled program."""
     panel_items = tuple(panel_accum.items())
     per_ray_keys = tuple(per_ray_keys)
 
@@ -430,11 +449,7 @@ def make_scan_render_step(mcfg: ModelConfig, rcfg: RenderConfig,
                                            cos_irra_on=cos_irra_on),
                               key, train=False)
             out = {k: res[k] for k in per_ray_keys if k in res}
-            w = res.get("weights_coarse")
-            for k, how in panel_items:
-                if k in res and w is not None:
-                    out[k] = (jnp.mean(res[k], axis=-2) if how == "mean"
-                              else jnp.sum(w[..., None] * res[k], axis=-2))
+            out.update(reduce_panels(res, panel_items))
             return carry, out
         _, outs = jax.lax.scan(one, None, (rays_mat, ts_mat))
         return outs

@@ -503,12 +503,13 @@ class Trainer:
         rays = sample["rays"]
         n = rays.shape[0]
         key = jax.random.PRNGKey(0)
-        # default: ALL chunks render inside one jitted lax.scan dispatch
-        # (make_scan_render_step) — the chunked host loop below round-trips
-        # once per chunk and on a high-latency link that latency dominates
-        # (~5 min vs <1 min for a 2.56M-ray image through the TPU tunnel).
-        # BRDFNERF_NO_SCAN_RENDER=1 restores the loop for A/B.
-        if os.environ.get("BRDFNERF_NO_SCAN_RENDER", "") != "1":
+        # default: chunks render in fixed-size BLOCKS, each block one
+        # jitted lax.scan dispatch (make_scan_render_step) — the chunked
+        # host loop below round-trips once per chunk and on a high-latency
+        # link that latency dominates (~5 min vs <1 min for a 2.56M-ray
+        # image through the TPU tunnel). Any truthy
+        # BRDFNERF_NO_SCAN_RENDER restores the loop for A/B.
+        if os.environ.get("BRDFNERF_NO_SCAN_RENDER", "") in ("", "0"):
             return self._render_image_scan(rcfg, rays, n, chunk, t, key)
         render_fn = self._get_render_fn(rcfg)
         outs: Dict[str, List[np.ndarray]] = {}
@@ -538,38 +539,52 @@ class Trainer:
             # per-sample panel fields -> per-ray maps, accumulated ON
             # DEVICE so only (chunk, C) crosses to host, not (chunk, S, C)
             # (the reference hauls full per-sample tensors to the host,
-            # main.py:426-455)
-            w = res.get("weights_coarse")
-            for k2, how in self.PANEL_ACCUM.items():
-                if k2 not in res or w is None:
-                    continue
-                acc = (jnp.mean(res[k2], axis=-2) if how == "mean"
-                       else jnp.sum(w[..., None] * res[k2], axis=-2))
+            # main.py:426-455); reduction shared with the scan path
+            from .parallel.train_step import reduce_panels
+            for k2, acc in reduce_panels(res, self.PANEL_ACCUM).items():
                 outs.setdefault(k2, []).append(np.asarray(acc)[:keep])
         return {k2: np.concatenate(v, 0) for k2, v in outs.items()}
 
     def _render_image_scan(self, rcfg: RenderConfig, rays: np.ndarray,
                            n: int, chunk: int, t: int, key):
-        """One-dispatch full-image render (see render_image): rays padded
-        to n_chunks*chunk, reshaped (n_chunks, chunk, D), scanned on
-        device; jit retraces per (n_chunks, chunk) shape."""
+        """Block-scan full-image render (see render_image): chunks render
+        in fixed-size blocks of BRDFNERF_RENDER_SCAN_BLOCK chunks
+        (default 32), each block ONE lax.scan dispatch.  The block size
+        is fixed so every image of >= block_size chunks reuses a single
+        compiled program regardless of its pixel count — flagship
+        compiles cost minutes through a remote-compile tunnel, so
+        per-image-shape recompiles would eat the dispatch savings.
+        Images smaller than one block scan at their exact chunk count
+        (small shapes compile fast).  The last block pads by repeating
+        the final ray; a 2.56M-ray image at chunk 5120 renders in 16
+        dispatches instead of 500."""
         if rcfg not in self._scan_render_fns:
             from .parallel.train_step import make_scan_render_step
             self._scan_render_fns[rcfg] = make_scan_render_step(
                 self.cfg.model, rcfg, self.PER_RAY_KEYS, self.PANEL_ACCUM,
                 mesh=self.mesh)
+        fn = self._scan_render_fns[rcfg]
         n_chunks = max(1, -(-n // chunk))
-        total = n_chunks * chunk
+        block = max(1, int(os.environ.get("BRDFNERF_RENDER_SCAN_BLOCK",
+                                          "32")))
+        block = min(block, n_chunks)
+        n_blocks = -(-n_chunks // block)
+        total = n_blocks * block * chunk
         rays_p = (np.concatenate([rays, np.tile(rays[-1:],
                                                 (total - n, 1))], 0)
                   if total > n else np.asarray(rays))
-        rays_mat = rays_p.reshape(n_chunks, chunk, -1).astype(np.float32)
-        ts_mat = np.full((n_chunks, chunk), t, np.int32)
-        outs = self._scan_render_fns[rcfg](
-            self.state.params, rays_mat, ts_mat,
-            jnp.asarray(self.cfg.train.cos_irra_on < 1.0), key)
-        return {k: np.asarray(v).reshape(total, *v.shape[2:])[:n]
-                for k, v in outs.items()}
+        rays_mat = rays_p.reshape(n_blocks, block, chunk,
+                                  -1).astype(np.float32)
+        ts_blk = np.full((block, chunk), t, np.int32)
+        cos_flag = jnp.asarray(self.cfg.train.cos_irra_on < 1.0)
+        outs: Dict[str, List[np.ndarray]] = {}
+        for b in range(n_blocks):
+            res = fn(self.state.params, rays_mat[b], ts_blk, cos_flag, key)
+            for k, v in res.items():
+                v = np.asarray(v)
+                outs.setdefault(k, []).append(
+                    v.reshape(block * chunk, *v.shape[2:]))
+        return {k: np.concatenate(v, 0)[:n] for k, v in outs.items()}
 
     # per-ray result keys fetched verbatim by render_image
     # fine-model outputs are harvested too (guarded by `in res`): metric

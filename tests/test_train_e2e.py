@@ -139,8 +139,10 @@ def test_scan_render_matches_chunk_loop(datasets, aoi, tmp_path,
     tr.fit(max_steps=5, log_every=100, eval_every_n_epochs=0,
            save_ckpt_every_n_epochs=0, progress=False)
     s = val_ds.get_image(0)
-    # chunk 100 does not divide 1024 rays -> exercises the padded tail
+    # chunk 100 does not divide 1024 rays -> exercises the padded tail;
+    # block 4 over 11 chunks -> 3 blocks incl. a padded final block
     monkeypatch.delenv("BRDFNERF_NO_SCAN_RENDER", raising=False)
+    monkeypatch.setenv("BRDFNERF_RENDER_SCAN_BLOCK", "4")
     scan_out = tr.render_image(s, chunk=100)
     monkeypatch.setenv("BRDFNERF_NO_SCAN_RENDER", "1")
     loop_out = tr.render_image(s, chunk=100)
@@ -219,9 +221,10 @@ def test_validation_panel_stack(datasets, aoi, tmp_path):
     assert n_panels >= 10, n_panels
 
 
-def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path):
+def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path, monkeypatch):
     """render_image(rcfg=...) with a new config must compile a new program
-    instead of silently reusing the first cached one (round-1 bug)."""
+    instead of silently reusing the first cached one (round-1 bug) — on
+    BOTH render paths (the default block-scan and the chunk loop)."""
     import dataclasses as dc
     train_ds, val_ds = datasets
     cfg = _run_cfg(max_train_steps=10)
@@ -229,13 +232,20 @@ def test_render_fn_cache_keys_by_rcfg(datasets, tmp_path):
                          ckpts_dir=str(tmp_path / "c3"))
     tr = Trainer(cfg, train_ds.store, paths, seed=0)
     s = val_ds.get_image(0)
-    out1 = tr.render_image(s)
     rc2 = dc.replace(cfg.render, n_samples=cfg.render.n_samples * 4)
+    monkeypatch.delenv("BRDFNERF_NO_SCAN_RENDER", raising=False)
+    out1 = tr.render_image(s)
     out2 = tr.render_image(s, rcfg=rc2)
-    # default render path is the scan render; its cache keys by rcfg
     assert len(tr._scan_render_fns) == 2
     # the second config provably drives the render: 4x samples changes depth
     assert not np.allclose(out1["depth_coarse"], out2["depth_coarse"])
+    # the loop path (BRDFNERF_NO_SCAN_RENDER, also _save_cross_section's
+    # path) keys its own cache by rcfg too
+    monkeypatch.setenv("BRDFNERF_NO_SCAN_RENDER", "1")
+    lo1 = tr.render_image(s)
+    lo2 = tr.render_image(s, rcfg=rc2)
+    assert len(tr._render_fns) == 2
+    assert not np.allclose(lo1["depth_coarse"], lo2["depth_coarse"])
 
 
 def test_checkpoint_roundtrip_and_handoff(datasets, tmp_path):
