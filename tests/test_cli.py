@@ -78,6 +78,33 @@ def test_train_then_eval_cli(aoi, spsnerf_run, tmp_path):
     assert len(rgbs) == n_train
 
 
+def test_eval_find_best_t(aoi, tmp_path):
+    """--find_best_t searches the t-embedding vocab per val image
+    (eval.py:184-199): only meaningful for models with a transient
+    embedding (sat-nerf), and the eval must succeed with the winning t."""
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.eval import main as eval_main
+    base = str(tmp_path)
+    logs, ckpts = os.path.join(base, "logs"), os.path.join(base, "ckpts")
+    assert train_main([
+        "--model", "sat-nerf", "--exp_name", "bt",
+        "--root_dir", aoi["root"], "--logs_dir", logs,
+        "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+        "--aoi_id", aoi["aoi_id"],
+        "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "0",
+        "--batch_size", "256", "--max_train_steps", "20",
+        "--t_embbeding_vocab", "4",
+        "--eval_every_n_epochs", "1000"]) == 0
+    run_dir = os.path.join(logs, "bt")
+    last = _last_epoch(os.path.join(ckpts, "bt"))
+    out_dir = str(tmp_path / "bt_eval")
+    assert eval_main(["--logs_dir", run_dir, "--output_dir", out_dir,
+                      "--epoch_number", str(last),
+                      "--find_best_t", "1"]) == 0
+    assert any(f.endswith("_rgb.tif") for f in os.listdir(out_dir))
+
+
 def test_sc_lambda_zeroed_without_learned_sun():
     from brdfnerf_tpu.cli.opts import train_parser, postprocess
     args = postprocess(train_parser().parse_args(
