@@ -1,0 +1,187 @@
+"""BRDF ground-truth inversion experiment: train the two-stage flagship
+workload on synthetic imagery rendered with KNOWN non-trivial RPV
+parameters and measure how well stage-2 recovers them.
+
+The full-scale run (BASELINE.md) proves the inversion recovers the
+Lambertian LIMIT (k ~ 1, theta ~ 0) from Lambertian imagery; this
+experiment is the stronger converse the reference itself cannot do with
+real imagery (no ground truth exists for a real surface's BRDF): the
+bumpy synthetic AOI is shaded with I = |sun_z| * albedo * RPV(view, sun,
+normal; k*, theta*, rhoc*) per pixel (tests/synth_aoi.py rpv_radiance,
+k*=0.75 theta*=-0.20 rhoc*=0.55), four views at 0-20 deg off-nadir with
+sun spread over azimuth AND elevation, and the recovered per-pixel
+rpv_k / rpv_theta / rpv_rhoc / albedo / normal maps are compared against
+the generator's ground truth.
+
+    python examples/brdf_inversion_check.py [workdir] [--size 512]
+        [--steps1 10000] [--steps2 10000]
+
+Reference workload semantics: README.md:97-133 (stage-1 Lambertian
+pretrain -> stage-2 RPV-111 finetune with checkpoint handoff,
+--normal analystic --brdf_on 0 --cos_irra_on 0, lr 2.152e-4).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from run_utils import last_epoch_ckpt, run_config
+
+
+def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
+    """Render every val image of the run and return per-image dicts of
+    recovered maps: rpv_k/theta/rhoc (weighted-sum, (N,3)), albedo_accu,
+    normal_an (weighted-sum), depth, mask, rays, src_id."""
+    from brdfnerf_tpu.cli import opts as opts_mod
+    from brdfnerf_tpu.cli.eval import _dummy_store
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    from brdfnerf_tpu.utils import checkpoint as ckpt
+    from brdfnerf_tpu.data.satellite import SatelliteDataset
+
+    args = opts_mod.load_opts(run_dir)
+    cfg = opts_mod.to_run_config(args)
+    val_ds = SatelliteDataset(opts_mod.sat_config_from_opts(args),
+                              split="val")
+    tr = Trainer(cfg, _dummy_store(val_ds),
+                 TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir),
+                 val_dataset=val_ds, seed=0)
+    params = ckpt.restore_params(
+        tr.state.params, ckpt.resolve_epoch_ckpt(ckpts_dir, epoch))
+    tr.state = tr.state._replace(params=params)
+
+    out = []
+    for idx in range(len(val_ds)):
+        s = val_ds.get_image(idx)
+        r = tr.render_image(s)
+        out.append(dict(
+            src_id=s.get("src_id", str(idx)), h=s["h"], w=s["w"],
+            rays=s["rays"], mask=s.get("mask"),
+            is_val=bool(s.get("is_val", True)),
+            k=r.get("rpv_k_coarse"), theta=r.get("rpv_theta_coarse"),
+            rhoc=r.get("rpv_rhoc_coarse"),
+            albedo=r.get("albedo_accu_coarse"),
+            normal=r.get("normal_an_coarse"),
+            depth=r.get("depth_coarse"), rgb=r.get("rgb_coarse")))
+    return out
+
+
+def ground_truth_fields(aoi_root: str, src_id: str, h: int, w: int):
+    """GT albedo / normal at each pixel's terrain intersection, from the
+    generator's own world model (tests/synth_aoi.py)."""
+    import synth_aoi as sa
+    with open(os.path.join(aoi_root, src_id + ".json")) as f:
+        rpc_d = json.load(f)["rpc"]
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    lon, lat, _alt = sa.intersect_terrain(rpc_d, cols, rows, True)
+    albedo = sa.ALB_SCALE * sa.ground_texture(lon, lat)
+    normal = sa.terrain_normal(lon, lat, True)
+    return albedo.reshape(-1), normal.reshape(-1, 3)
+
+
+def score(maps, aoi_root: str, gt: dict):
+    """Per-image and pooled recovery errors vs the generator ground
+    truth, masked to the image footprint."""
+    rows = []
+    pooled = {p: [] for p in ("k", "theta", "rhoc")}
+    alb_err, nr_err = [], []
+    for m in maps:
+        if not m["is_val"]:
+            continue
+        msk = (np.asarray(m["mask"]).reshape(-1) > 0
+               if m["mask"] is not None
+               else np.ones(m["h"] * m["w"], bool))
+        rec = {}
+        for p in ("k", "theta", "rhoc"):
+            v = np.asarray(m[p])[msk].mean(-1)   # 3 tied channels -> 1
+            rec[p] = dict(mean=float(v.mean()), std=float(v.std()),
+                          gt=float(gt[p]),
+                          abs_err=float(abs(v.mean() - gt[p])))
+            pooled[p].append(v)
+        alb_gt, nr_gt = ground_truth_fields(aoi_root, m["src_id"],
+                                            m["h"], m["w"])
+        alb = np.asarray(m["albedo"])[msk].mean(-1)
+        rec["albedo_mae"] = float(np.abs(alb - alb_gt[msk]).mean())
+        nr = np.asarray(m["normal"])[msk]
+        nr = nr / np.maximum(np.linalg.norm(nr, axis=-1, keepdims=True),
+                             1e-12)
+        cosang = np.clip(np.sum(nr * nr_gt[msk], -1), -1, 1)
+        rec["normal_mae_deg"] = float(np.degrees(np.arccos(cosang)).mean())
+        alb_err.append(rec["albedo_mae"])
+        nr_err.append(rec["normal_mae_deg"])
+        rows.append({"src_id": m["src_id"], **rec})
+    summary = {p: dict(gt=float(gt[p]),
+                       recovered_mean=float(np.concatenate(pooled[p]).mean()),
+                       recovered_std=float(np.concatenate(pooled[p]).std()),
+                       abs_err=float(abs(np.concatenate(pooled[p]).mean()
+                                         - gt[p])))
+               for p in ("k", "theta", "rhoc")}
+    summary["albedo_mae"] = float(np.mean(alb_err))
+    summary["normal_mae_deg"] = float(np.mean(nr_err))
+    return {"per_image": rows, "summary": summary}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/brdfnerf_inversion")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps1", type=int, default=10000)
+    ap.add_argument("--steps2", type=int, default=10000)
+    a = ap.parse_args(argv)
+
+    os.makedirs(a.workdir, exist_ok=True)
+    from synth_aoi import build_aoi, RPV_GT
+
+    print(f"== building BRDF-shaded AOI (RPV gt {RPV_GT}) ==", flush=True)
+    aoi = build_aoi(os.path.join(a.workdir, "aoi"), n_train=3, n_test=1,
+                    bumpy=True, size=a.size, brdf=RPV_GT)
+    logs = os.path.join(a.workdir, "logs")
+    ckpts = os.path.join(a.workdir, "ckpts")
+    common = ["--root_dir", aoi["root"], "--logs_dir", logs,
+              "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+              "--aoi_id", aoi["aoi_id"], "--mapping",
+              "--fc_feat", "512", "--fc_layers", "8",
+              "--batch_size", "1024", "--n_samples", "64",
+              "--guided_samples", "64", "--ds_lambda", "10",
+              "--eval_every_n_epochs", "2",
+              "--save_ckpt_every_n_epochs", "2"]
+
+    run_config("inv-stage1",
+               ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage1",
+                "--lr", "5e-4", "--max_train_steps", str(a.steps1)] + common,
+               logs, ckpts)
+    s1 = last_epoch_ckpt(os.path.join(ckpts, "inv-stage1"))
+
+    res2 = run_config(
+        "inv-stage2",
+        ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage2",
+         "--in_ckpts", s1, "--normal", "analystic",
+         "--funcM", "1", "--funcF", "1", "--funcH", "1",
+         "--brdf_on", "0", "--cos_irra_on", "0",
+         "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)] + common,
+        logs, ckpts)
+
+    run2 = os.path.join(logs, "inv-stage2")
+    ck2 = os.path.join(ckpts, "inv-stage2")
+    last = int(os.path.basename(last_epoch_ckpt(ck2))[len("epoch="):-4])
+    print(f"== reading recovered parameter maps (epoch {last}) ==",
+          flush=True)
+    maps = recovered_maps(run2, ck2, last)
+    result = score(maps, aoi["root"], RPV_GT)
+    result["stage2_curve_tail"] = res2["curve"][-3:]
+    out = os.path.join(a.workdir, "inversion_result.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result["summary"], indent=2))
+    print(f"written: {out}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,73 @@ def terrain_alt(lon, lat, bumpy: bool):
     return ALT0 + BUMP_AMP * np.sin(1.5 * u) * np.cos(1.2 * v)
 
 
+def terrain_normal(lon, lat, bumpy: bool, d: float = 0.25):
+    """Unit terrain surface normal in the local (east, north, up) frame by
+    central finite differences of terrain_alt in UTM meters.  The bumpy
+    hill field has slopes up to ~45 deg, which is what gives the
+    BRDF-shaded imagery its angular diversity (ci/cv vary per pixel even
+    though each affine-RPC view direction is constant per image)."""
+    lon = np.asarray(lon, np.float64)
+    if not bumpy:
+        n = np.zeros(lon.shape + (3,))
+        n[..., 2] = 1.0
+        return n
+    from brdfnerf_tpu.geo.geodesy import latlon_from_utm
+    e, n_ = utm_from_latlon(np.asarray(lat, np.float64), lon, zone=ZONE)
+
+    def alt_at(ee, nn):
+        la, lo = latlon_from_utm(ee, nn, ZONE, northern=True)
+        return terrain_alt(lo, la, True)
+
+    dzde = (alt_at(e + d, n_) - alt_at(e - d, n_)) / (2.0 * d)
+    dzdn = (alt_at(e, n_ + d) - alt_at(e, n_ - d)) / (2.0 * d)
+    nrm = np.stack([-dzde, -dzdn, np.ones_like(dzde)], -1)
+    return nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+
+def view_dir_up(rpc_d, cols, rows):
+    """Per-pixel unit ground->camera direction in (east, north, up): the
+    normalized vector from the ray's MIN_ALT ground point to its MAX_ALT
+    ground point (the same two-altitude construction the ray generator
+    uses, so pts2c = -rays_d in the trained model matches this exactly)."""
+    lon_n, lat_n = localize_affine(rpc_d, cols, rows, MAX_ALT)
+    lon_f, lat_f = localize_affine(rpc_d, cols, rows, MIN_ALT)
+    e_n, n_n = utm_from_latlon(lat_n, lon_n, zone=ZONE)
+    e_f, n_f = utm_from_latlon(lat_f, lon_f, zone=ZONE)
+    v = np.stack([e_n - e_f, n_n - n_f,
+                  np.full_like(e_n, MAX_ALT - MIN_ALT)], -1)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+# ground-truth RPV parameters for the BRDF-shaded AOI variant; chosen
+# non-trivial (k != 1: bowl-shaped Minnaert darkening; theta < 0:
+# backscattering HG lobe; rhoc < 1: live hotspot factor) but inside the
+# heads' output ranges (k in [0,2], theta in [-1,1], rhoc in [0,1])
+RPV_GT = dict(k=0.75, theta=-0.20, rhoc=0.55)
+
+
+def rpv_radiance(albedo, view_up, sun_up, normal, k, theta, rhoc):
+    """Top-of-atmosphere radiance of a surface with the given RPV
+    parameters under the framework's own rendering equation for the
+    blessed stage-2 config (cos_irra_on, per-ray BRDF accumulation):
+
+        I = |sun_z| * albedo * M1(ci,cv;k) * F(cg;theta) * H(rhoc;G)
+
+    Evaluated through brdfnerf_tpu.brdf.rpv.rpv_brdf itself so the clamp /
+    eps conventions match the trained model exactly (the RPV formula's
+    parity vs the torch reference is golden-tested separately in
+    tests/test_reference_parity.py)."""
+    from brdfnerf_tpu.brdf.rpv import rpv_brdf
+    sh = np.shape(albedo)
+    flat = lambda a: np.asarray(a, np.float32).reshape(-1, 3)
+    ones3 = np.ones((int(np.prod(sh)), 3), np.float32)
+    alb = np.repeat(np.asarray(albedo, np.float32).reshape(-1, 1), 3, axis=1)
+    brdf, *_ = rpv_brdf(flat(sun_up), flat(view_up), flat(normal), alb,
+                        k * ones3, theta * ones3, rhoc * ones3)
+    irr = np.abs(np.asarray(sun_up, np.float64).reshape(-1, 3)[:, 2])
+    return (irr[:, None] * np.asarray(brdf)).reshape(sh + (3,))
+
+
 def intersect_terrain(rpc_d, cols, rows, bumpy: bool, iters: int = 25):
     """Ray-terrain intersection by fixed-point altitude iteration:
     a <- alt(lonlat(a)).  Converges fast for gentle slopes (the affine RPC
@@ -88,27 +155,55 @@ def localize_affine(rpc_d, cols, rows, alt):
             nlat * rpc_d["lat_scale"] + rpc_d["lat_offset"])
 
 
+ALB_SCALE = 0.5     # albedo = ALB_SCALE * ground_texture in BRDF mode,
+# keeping irr * albedo * (M1*F*H) inside [0, 1] for nearly every pixel
+# (both the generator and the model's render clip identically, but heavy
+# saturation would destroy the angular signal the inversion needs)
+
+
 def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
               depth_subdir: str = "DenseDepth_ZM4",
               with_keypoints: bool = False, bumpy: bool = False,
-              size: int = None):
+              size: int = None, brdf: dict = None):
     """size: image height/width in pixels (default the module's 32).
     The ground FOOTPRINT is fixed by the RPC lat/lon scales, so size only
     changes sampling density — larger sizes give realistic
     steps-per-epoch so the per-epoch StepLR follows the reference's
     schedule geometry (the convergence runs use this; at 32 px the lr
-    decays 0.9 every 2 steps and training freezes by step ~1000)."""
+    decays 0.9 every 2 steps and training freezes by step ~1000).
+
+    brdf: optional dict(k=, theta=, rhoc=) of ground-truth RPV parameters.
+    When set, the imagery is physically shaded instead of Lambertian:
+    I = |sun_z| * albedo * RPV(view, sun, normal; k, theta, rhoc) with
+    albedo = ALB_SCALE * ground_texture, per-pixel terrain normals, the
+    per-image view direction, and a per-image sun spread over azimuth AND
+    elevation — the setup for the BRDF ground-truth inversion experiment
+    (examples/brdf_inversion_check.py).  Use bumpy=True with it: on flat
+    terrain every pixel of an (affine-RPC) image shares one angle triple,
+    so 3 views give only 2 brightness ratios for 3 parameters."""
     h = w = int(size) if size is not None else H
     return _build_aoi(root, n_train, n_test, depth_subdir,
-                      with_keypoints, bumpy, h, w)
+                      with_keypoints, bumpy, h, w, brdf)
 
 
 def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
-               with_keypoints: bool, bumpy: bool, h: int = H, w: int = W):
+               with_keypoints: bool, bumpy: bool, h: int = H, w: int = W,
+               brdf: dict = None):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
     tilts = [(0.0, 0.0), (0.15, 0.05), (-0.1, 0.12), (0.05, -0.15)]
+    sun_els = [55.0] * 4
+    sun_azs = [140.0 + 5 * i for i in range(4)]
+    if brdf is not None:
+        # view zeniths 0/17/18/20 deg with spread azimuths (|tilt| of 1.0
+        # corresponds to ~12.6 deg off-nadir: dE/dalt = a13*lon_scale*
+        # m_per_deg_lon/alt_scale ~ 0.22 per unit a13), plus sun positions
+        # spread over elevation AND azimuth — the angular diversity the
+        # 3-parameter RPV inversion needs
+        tilts = [(0.0, 0.0), (1.3, 0.4), (-0.9, -1.1), (0.5, 1.5)]
+        sun_els = [35.0, 55.0, 45.0, 65.0]
+        sun_azs = [140.0, 230.0, 20.0, 320.0]
     names = []
     # shared bundle-adjustment tie points on the terrain (ECEF, the BA
     # convention): a coarse grid in the common footprint
@@ -127,13 +222,24 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
         cols, rows = np.meshgrid(np.arange(w), np.arange(h))
         lon, lat, alt = intersect_terrain(rpc_d, cols, rows, bumpy)
         tex = ground_texture(lon, lat)
-        rgb = np.stack([tex, tex, tex]).astype(np.float32)
+        sun_el = sun_els[i % len(sun_els)]
+        sun_az = sun_azs[i % len(sun_azs)]
+        if brdf is not None:
+            from brdfnerf_tpu.geo.geodesy import sun_direction
+            nrm = terrain_normal(lon, lat, bumpy)
+            vup = view_dir_up(rpc_d, cols, rows)
+            sun = np.broadcast_to(sun_direction(sun_el, sun_az), vup.shape)
+            rad = rpv_radiance(ALB_SCALE * tex, vup, sun, nrm,
+                               brdf["k"], brdf["theta"], brdf["rhoc"])
+            rgb = np.clip(rad, 0.0, 1.0).transpose(2, 0, 1).astype(np.float32)
+        else:
+            rgb = np.stack([tex, tex, tex]).astype(np.float32)
         rgb8 = (rgb * 255).astype(np.uint8)
         write_geotiff(os.path.join(root, img_name), rgb8,
                       GeoProfile(epsg=utm_epsg(ZONE, True)))
         meta = dict(img=img_name, height=h, width=w, rpc=rpc_d,
                     min_alt=MIN_ALT, max_alt=MAX_ALT,
-                    sun_elevation=55.0, sun_azimuth=140.0 + 5 * i)
+                    sun_elevation=sun_el, sun_azimuth=sun_az)
         if with_keypoints:
             # project the shared tie points into this image (exact affine
             # inverse => zero reprojection error)
@@ -191,4 +297,5 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
                              xres=res, yres=res, epsg=utm_epsg(ZONE, True)))
     np.savetxt(os.path.join(gt_dir, f"{aoi_id}_DSM.txt"),
                np.asarray([xoff, yoff_b, size, res]))
-    return dict(root=root, gt_dir=gt_dir, aoi_id=aoi_id, names=names)
+    return dict(root=root, gt_dir=gt_dir, aoi_id=aoi_id, names=names,
+                brdf=brdf)

@@ -154,3 +154,59 @@ def test_ray_cache(tmp_path):
     assert any(f.endswith(".npz") for f in files)
     ds2 = SatelliteDataset(cfg, split="train")
     np.testing.assert_array_equal(ds1.store["rays"], ds2.store["rays"])
+
+
+def test_brdf_shaded_generator(tmp_path):
+    """BRDF-shaded AOI variant (examples/brdf_inversion_check.py input):
+    the Lambertian parameter limit (k=1, theta=0, rhoc=1) reproduces
+    |sun_z| * albedo exactly (to uint8 quantization), and the non-trivial
+    RPV_GT imagery is view-dependent and unclipped."""
+    from synth_aoi import (build_aoi as _build, affine_rpc_dict,
+                           intersect_terrain, ground_texture, ALB_SCALE,
+                           RPV_GT, terrain_normal, view_dir_up,
+                           rpv_radiance)
+    from brdfnerf_tpu.utils.geotiff import read_geotiff
+
+    aoi = _build(str(tmp_path / "lam"), bumpy=True, size=32,
+                 brdf=dict(k=1.0, theta=0.0, rhoc=1.0))
+    img, _ = read_geotiff(str(tmp_path / "lam" / "img_00.tif"))
+    img = np.asarray(img, np.float64) / 255.0
+    rpc_d = affine_rpc_dict(0.0, 0.0, hw=(32, 32))
+    cols, rows = np.meshgrid(np.arange(32), np.arange(32))
+    lon, lat, _ = intersect_terrain(rpc_d, cols, rows, True)
+    # sun elevation 35 deg for image 0 in BRDF mode
+    expected = np.sin(np.radians(35.0)) * ALB_SCALE * ground_texture(lon, lat)
+    assert np.abs(img[0] - expected).max() < 1.0 / 255.0 + 1e-6
+    assert aoi["brdf"] == dict(k=1.0, theta=0.0, rhoc=1.0)
+
+    _build(str(tmp_path / "rpv"), bumpy=True, size=32, brdf=RPV_GT)
+    img2, _ = read_geotiff(str(tmp_path / "rpv" / "img_00.tif"))
+    img2 = np.asarray(img2, np.float64) / 255.0
+    # non-trivial parameters must change the radiance vs the Lambertian
+    # limit (same view/sun for image 0 of both AOIs)
+    assert np.abs(img2[0] - img[0]).mean() > 0.01
+    assert img2.max() < 1.0  # unclipped: the angular signal survives
+
+    # rpv_radiance at nadir view / zenith sun / flat normal reduces to
+    # albedo * M1 * F * H with ci = cv = 1 (hand-computed factors)
+    one = np.ones((1, 3))
+    up = one * [0.0, 0.0, 1.0]
+    k, th, rc = RPV_GT["k"], RPV_GT["theta"], RPV_GT["rhoc"]
+    rad = rpv_radiance(np.asarray([0.5]), up, up, up, k, th, rc)
+    ci = cv = 1.0 - 1e-6   # calc_angles cos clamp
+    m1 = (ci * cv * (ci + cv) + 1e-5) ** (k - 1.0)
+    cg = ci  # view == sun => clamped dot = cos_max
+    f = (1 - th * th) / ((1 + 2 * th * cg + th * th) ** 1.5 + 1e-6)
+    g = np.sqrt(np.tan(np.arccos(ci)) ** 2 * (2 - 2 * np.cos(0.0)) + 1e-5)
+    h = 1 + (1 - rc) / (1 + g + 1e-5)
+    np.testing.assert_allclose(rad.ravel(), 0.5 * m1 * f * h * 1.0,
+                               rtol=5e-4)   # f32 eval vs f64 hand-calc
+
+    # terrain normals: unit length, upward, and matching the analytic
+    # slope of the hill field at a probe point
+    n = terrain_normal(lon, lat, True)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-9)
+    assert n[..., 2].min() > 0.0
+    # view_dir_up: unit, upward, nadir for the untilted RPC
+    v = view_dir_up(rpc_d, cols.ravel(), rows.ravel())
+    np.testing.assert_allclose(v[:, 2], 1.0, atol=1e-12)
