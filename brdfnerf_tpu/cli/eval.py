@@ -39,7 +39,7 @@ def find_best_t_for_val_image(tr, sample, psnr_fn, n_vocab: int):
 
 def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              checkpoints_dir: str = None, output_dir: str = None,
-             find_best_t: bool = False) -> Dict:
+             find_best_t: bool = False, compute_dtype: str = None) -> Dict:
     import jax.numpy as jnp
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
@@ -49,6 +49,12 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
 
     args = opts_mod.load_opts(run_dir)
     cfg = opts_mod.to_run_config(args)
+    if compute_dtype:
+        # serving-precision override (e.g. --compute_dtype int8 evaluates
+        # a bf16/f32-trained checkpoint through the int8 MXU trunk)
+        import dataclasses as dc
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model,
+                                               compute_dtype=compute_dtype))
     out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -180,7 +186,8 @@ def main(argv=None):
     evaluate(run_dir, args.epoch_number, split=args.split,
              checkpoints_dir=args.checkpoints_dir,
              output_dir=args.output_dir,
-             find_best_t=bool(args.find_best_t))
+             find_best_t=bool(args.find_best_t),
+             compute_dtype=args.compute_dtype)
     return 0
 
 

@@ -204,6 +204,13 @@ def eval_parser() -> argparse.ArgumentParser:
                    help="search the t-embedding vocab per val image and "
                         "score with the best-PSNR index instead of the "
                         "predefined t=0 (eval.py:184-199,215)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16", "bfloat16_all", "int8"],
+                   help="override the run's training compute_dtype for "
+                        "this evaluation; 'int8' runs the (siren, mapped) "
+                        "trunk through the int8 MXU path — serving-only, "
+                        "pair with --normal_at_surface-trained or accept "
+                        "bf16 gradients for per-sample analytic normals")
     return p
 
 

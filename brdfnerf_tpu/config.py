@@ -73,6 +73,12 @@ class ModelConfig:
     # matmuls on the MXU at bf16 with float32 accumulation
     # (preferred_element_type) — ~4x the f32 MXU peak on v5e; activations
     # and all transcendental/compositing math stay float32.
+    # 'bfloat16_all' also keeps inter-layer activations bf16 (halves HBM
+    # traffic, the production training setting).  'int8' (SERVING-ONLY)
+    # quantizes the trunk matmuls to the int8 MXU path (2x bf16 peak):
+    # valid only for siren+mapping trunks whose matmul inputs are
+    # statically bounded in [-1, 1]; heads stay bfloat16_all and training
+    # rejects it (the quantizer round() has zero gradient).
     compute_dtype: str = "float32"
     # TPU-native: polynomial sine for siren activations (ops/fast_math.py):
     # ~2.7x on the VPU-bound trunk at 1.7e-5 abs error.  False = exact

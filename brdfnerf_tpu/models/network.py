@@ -74,7 +74,12 @@ def _linear(p, x, compute_dtype: str = "float32"):
     accumulation and f32 output (mixed-precision, f32 activation storage).
     'bfloat16_all': output is rounded to bf16 too — halves the inter-layer
     activation traffic through HBM, the train step's actual bottleneck
-    (bytes-bound, not FLOP-bound: see bench ablations)."""
+    (bytes-bound, not FLOP-bound: see bench ablations).
+    'int8' (serving-only) applies to the TRUNK via _linear_int8; heads
+    run at bfloat16_all (they are thin, unbounded-input matmuls where
+    static quantization neither applies nor pays)."""
+    if compute_dtype == "int8":
+        compute_dtype = "bfloat16_all"
     if compute_dtype in ("bfloat16", "bfloat16_all"):
         out_dt = (jnp.bfloat16 if compute_dtype == "bfloat16_all"
                   else jnp.float32)
@@ -84,6 +89,30 @@ def _linear(p, x, compute_dtype: str = "float32"):
             preferred_element_type=out_dt)
         return y + p["b"].astype(out_dt)
     return x @ p["w"] + p["b"]
+
+
+def _linear_int8(p, x):
+    """Serving-only int8 MXU dense layer for STATICALLY BOUNDED inputs.
+
+    Every trunk input is exactly bounded in [-1, 1] — the positional
+    encoding is a sine table and every siren hidden activation is
+    sin(.) — so the activation quantizer needs no calibration: scale is
+    the constant 1/127.  Weights quantize per-output-channel
+    (sw = max|W[:, j]|/127), the dot accumulates in int32 on the MXU
+    (2x the bf16 peak on v5e), and the result dequantizes to f32 before
+    the bias.  round() makes this non-differentiable: training guards
+    reject compute_dtype='int8', and gradient consumers (analytic
+    normals) run through the bfloat16 twin instead."""
+    xq = jnp.round(jnp.clip(x.astype(jnp.float32), -1.0, 1.0)
+                   * 127.0).astype(jnp.int8)
+    w = p["w"].astype(jnp.float32)
+    sw = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    wq = jnp.round(w / jnp.maximum(sw, 1e-20)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    # x ~ xq/127 and W ~ wq*sw, so y = (xq @ wq) * sw / 127
+    return acc.astype(jnp.float32) * (sw / 127.0) + p["b"]
 
 
 # -------------------------------------------------------------- activations
@@ -189,18 +218,23 @@ def _trunk_features(params, cfg: ModelConfig, xyz):
     enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
            if cfg.mapping else xyz)
     e_dim = enc.shape[-1]
+    # int8 (serving): every trunk matmul input — the sine encoding and
+    # every siren hidden activation — is statically bounded in [-1, 1],
+    # so the whole trunk runs through the int8 MXU path.  Raw-xyz trunks
+    # (mapping off) are unbounded: they stay on the bf16 path.
+    int8 = cfg.compute_dtype == "int8" and cfg.mapping and cfg.siren
+    lin = _linear_int8 if int8 else (
+        lambda p, x: _linear(p, x, cfg.compute_dtype))
     h = enc
     for i, layer in enumerate(params["fc_net"]):
         if i in cfg.skips:
             top = {"w": layer["w"][:e_dim], "b": layer["b"]}
             bot = {"w": layer["w"][e_dim:],
                    "b": jnp.zeros_like(layer["b"])}
-            z = _linear(top, enc, cfg.compute_dtype) \
-                + _linear(bot, h, cfg.compute_dtype)
+            z = lin(top, enc) + lin(bot, h)
             h = _act(cfg, z, first=False)
         else:
-            h = _act(cfg, _linear(layer, h, cfg.compute_dtype),
-                     first=(i == 0))
+            h = _act(cfg, lin(layer, h), first=(i == 0))
     return h
 
 
@@ -254,6 +288,10 @@ def analytic_normals(params, cfg: ModelConfig, xyz):
     (spsbrdfnerf.py:648-660) expressed as jax.grad of the summed density —
     valid because sigma at a point depends only on that point's xyz, and
     differentiable end-to-end (grad-of-grad handled by JAX)."""
+    if cfg.compute_dtype == "int8":
+        # round() has zero gradient: differentiate the bf16 twin instead
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
     grad = jax.grad(lambda x: jnp.sum(sigma_fn(params, cfg, x)))(xyz)
     return -l2_normalize(grad.astype(jnp.float32))
 
@@ -314,9 +352,20 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
         return _heads_from_feats(out, params, cfg, feats, dirs, sun_d,
                                  t_emb, apply_brdf, apply_theta, nr_lr)
 
+    grad_cfg = cfg
+    if cfg.compute_dtype == "int8":
+        # per-sample analytic normals differentiate the trunk, and round()
+        # has zero gradient — this branch runs wholly on the bf16 twin.
+        # int8 still accelerates the sigma-only and sun-march passes; for
+        # the full pass pair it with RenderConfig.normal_at_surface, which
+        # keeps the per-sample forward int8 and takes ONE bf16 gradient
+        # per ray at the expected surface instead.
+        import dataclasses as _dc
+        grad_cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
+
     def trunk_sigma(x):
-        f = _trunk_features(params, cfg, x)
-        s = _head(params, cfg, "sigma_from_xyz", f,
+        f = _trunk_features(params, grad_cfg, x)
+        s = _head(params, grad_cfg, "sigma_from_xyz", f,
                   final="softplus")[..., 0]
         return jnp.sum(s), (f, s)
 

@@ -57,7 +57,10 @@ def kernel_supports(cfg: ModelConfig) -> bool:
     XLA trunk reproduces — callers must fall back to XLA when this
     returns False."""
     return (len(cfg.skips) == 1 and 0 < cfg.skips[0] < cfg.layers
-            and cfg.layers >= 3)
+            and cfg.layers >= 3
+            # the fused kernels compute in bf16/f32; the int8 serving
+            # path runs through XLA's native int8 dot instead
+            and cfg.compute_dtype != "int8")
 
 
 def pack_trunk_weights(params: Dict, cfg: ModelConfig,

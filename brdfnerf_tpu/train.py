@@ -344,6 +344,14 @@ class Trainer:
         log_every) multiples of log_every, so every log point gets its own
         row; with scan_chunk <= log_every logging reports the last step of
         the chunk containing each log point."""
+        if self.cfg.model.compute_dtype == "int8":
+            # the Trainer object doubles as the eval-CLI render harness,
+            # so int8 is rejected here (the training entry), not __init__
+            raise ValueError(
+                "compute_dtype='int8' is serving-only: the quantizer's "
+                "round() has zero gradient, so training would silently "
+                "freeze the trunk. Train at float32/bfloat16* and pass "
+                "--compute_dtype int8 to the eval CLI instead.")
         max_steps = max_steps or self.max_steps
         if scan_chunk is None:
             scan_chunk = int(os.environ.get("BRDFNERF_SCAN_CHUNK", "1"))
