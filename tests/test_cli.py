@@ -209,6 +209,23 @@ def test_eval_freeze_all_mode(aoi, spsnerf_run, tmp_path):
         np.testing.assert_array_equal(before[k], after[k])
 
 
+def test_eval_cli_int8_override(spsnerf_run, tmp_path):
+    """--compute_dtype int8 serves a trained run through the quantized
+    trunk end-to-end (scan render included) and scores within
+    quantization noise of the run's own precision."""
+    from brdfnerf_tpu.cli.eval import evaluate
+
+    run_dir = spsnerf_run["run_dir"]
+    last = spsnerf_run["last_epoch"]
+    base = evaluate(run_dir, last, output_dir=str(tmp_path / "f32"))
+    q = evaluate(run_dir, last, output_dir=str(tmp_path / "int8"),
+                 compute_dtype="int8")
+    assert np.isfinite(q["psnr"])
+    # int8 perturbs sampled z positions too, so allow ~1 dB
+    assert abs(q["psnr"] - base["psnr"]) < 1.5, (q["psnr"], base["psnr"])
+    assert abs(q["ssim"] - base["ssim"]) < 0.05
+
+
 def test_nr_spv_type_derivation():
     from brdfnerf_tpu.cli.opts import train_parser, postprocess
     args = postprocess(train_parser().parse_args(
