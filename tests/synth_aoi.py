@@ -204,6 +204,23 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
         tilts = [(0.0, 0.0), (1.3, 0.4), (-0.9, -1.1), (0.5, 1.5)]
         sun_els = [35.0, 55.0, 45.0, 65.0]
         sun_azs = [140.0, 230.0, 20.0, 320.0]
+        m = n_train + n_test
+        if m > 4:
+            # identifiability-study mode: a deterministic golden-angle
+            # spiral of view tilts (zenith 0 -> ~20 deg) and sun
+            # positions spread over elevation AND azimuth, so every
+            # surface point is observed under m distinct (view, sun)
+            # pairs — per-point (albedo, k, theta, rhoc) has 4 unknowns,
+            # so m >= ~6 diverse views make the RPV inversion
+            # overdetermined where the blessed 3-view workload is not
+            ga = 137.50776405  # golden angle, degrees
+            tilts, sun_els, sun_azs = [], [], []
+            for i in range(m):
+                r = 1.6 * np.sqrt(i / max(m - 1, 1))
+                az = np.radians(ga * i)
+                tilts.append((r * np.cos(az), r * np.sin(az)))
+                sun_els.append(30.0 + 35.0 * ((i * 7) % m) / max(m - 1, 1))
+                sun_azs.append((140.0 + ga * i) % 360.0)
     names = []
     # shared bundle-adjustment tie points on the terrain (ECEF, the BA
     # convention): a coarse grid in the common footprint
