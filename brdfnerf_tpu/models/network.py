@@ -111,8 +111,13 @@ def _linear_int8(p, x):
     acc = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    # x ~ xq/127 and W ~ wq*sw, so y = (xq @ wq) * sw / 127
-    return acc.astype(jnp.float32) * (sw / 127.0) + p["b"]
+    # x ~ xq/127 and W ~ wq*sw, so y = (xq @ wq) * sw / 127.  Output is
+    # bf16: the trunk is bytes-bound (see _linear's bfloat16_all note)
+    # and the consumer either sin-activates and requantizes to int8 or
+    # is a bf16 head — f32 inter-layer storage would pay back the MXU
+    # gain in doubled HBM activation traffic
+    y = acc.astype(jnp.float32) * (sw / 127.0) + p["b"]
+    return y.astype(jnp.bfloat16)
 
 
 # -------------------------------------------------------------- activations
@@ -332,17 +337,30 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
     fused_trunk: run the differentiated trunk as the fused Pallas kernel
     pair with a hand-derived custom VJP (ops/pallas_trunk_vjp.py) —
     numerically equivalent, all activations VMEM-resident."""
+    grad_cfg = cfg
+    if cfg.compute_dtype == "int8":
+        # per-sample analytic normals differentiate the trunk, and round()
+        # has zero gradient — this branch runs wholly on the bf16 twin
+        # (including the fused custom-VJP kernels below, which is why
+        # grad_cfg is computed BEFORE the kernel_supports gate).  int8
+        # still accelerates the sigma-only and sun-march passes; for the
+        # full pass pair it with RenderConfig.normal_at_surface, which
+        # keeps the per-sample forward int8 and takes ONE bf16 gradient
+        # per ray at the expected surface instead.
+        import dataclasses as _dc
+        grad_cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
+
     # the fused kernels assume the reference architecture (exactly one
     # IN-RANGE skip layer, nerf.py:165); fall back to XLA autodiff
     # otherwise (e.g. fc_layers=4 with the default skip index 4, which
     # the reference treats as a skipless trunk)
     if fused_trunk:
         from ..ops.pallas_mlp import kernel_supports
-        if not kernel_supports(cfg):
+        if not kernel_supports(grad_cfg):
             fused_trunk = False
     if fused_trunk:
         from ..ops.pallas_trunk_vjp import fused_trunk_with_grad
-        sigma, feats, grad_x = fused_trunk_with_grad(params, cfg, xyz)
+        sigma, feats, grad_x = fused_trunk_with_grad(params, grad_cfg, xyz)
         out: Dict[str, jnp.ndarray] = {"sigma": sigma}
         out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
         # the head block deliberately stays on XLA: a fused Pallas head
@@ -351,17 +369,6 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
         # flagship) — see BASELINE.md round-2 notes
         return _heads_from_feats(out, params, cfg, feats, dirs, sun_d,
                                  t_emb, apply_brdf, apply_theta, nr_lr)
-
-    grad_cfg = cfg
-    if cfg.compute_dtype == "int8":
-        # per-sample analytic normals differentiate the trunk, and round()
-        # has zero gradient — this branch runs wholly on the bf16 twin.
-        # int8 still accelerates the sigma-only and sun-march passes; for
-        # the full pass pair it with RenderConfig.normal_at_surface, which
-        # keeps the per-sample forward int8 and takes ONE bf16 gradient
-        # per ray at the expected surface instead.
-        import dataclasses as _dc
-        grad_cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
 
     def trunk_sigma(x):
         f = _trunk_features(params, grad_cfg, x)

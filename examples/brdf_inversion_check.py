@@ -138,10 +138,13 @@ def main(argv=None):
     ap.add_argument("--steps1", type=int, default=10000)
     ap.add_argument("--steps2", type=int, default=10000)
     ap.add_argument("--n_train", type=int, default=3,
-                    help="3 = the reference's blessed 3-view workload "
-                         "(per-point inversion under-determined; the "
-                         "recorded negative result); >= 6 = golden-angle "
-                         "view/sun spiral, overdetermined per point")
+                    help="<= 3 = the reference's blessed fixed 4-entry "
+                         "view/sun tables (per-point inversion "
+                         "under-determined; the recorded negative "
+                         "result); >= 4 (n_train + 1 test > 4) switches "
+                         "to the golden-angle view/sun spiral — use >= 6 "
+                         "to make the 4-unknown per-point inversion "
+                         "overdetermined")
     ap.add_argument("--nr_spv_lambda", type=float, default=0.0,
                     help="type-3 normal supervision weight for stage 2 "
                          "(reference capability, 0 in its blessed "

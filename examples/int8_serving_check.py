@@ -95,7 +95,7 @@ def main(argv=None):
 
     base = outs["bf16"]
     for name, f in outs.items():
-        if name == "bf16":
+        if name in ("bf16", "bf16+surf"):   # each is its own reference
             continue
         ref = (outs["bf16+surf"] if name.endswith("+surf") else base)
         d_rgb = np.abs(f["rgb_coarse"].astype(np.float64)

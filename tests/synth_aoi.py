@@ -214,12 +214,15 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
             # so m >= ~6 diverse views make the RPV inversion
             # overdetermined where the blessed 3-view workload is not
             ga = 137.50776405  # golden angle, degrees
+            phi = 0.6180339887  # golden-ratio stride: irrational, so the
+            # elevation sequence never degenerates for any m (an integer
+            # stride like 7 collapses to one value whenever gcd(7, m) > 1)
             tilts, sun_els, sun_azs = [], [], []
             for i in range(m):
                 r = 1.6 * np.sqrt(i / max(m - 1, 1))
                 az = np.radians(ga * i)
                 tilts.append((r * np.cos(az), r * np.sin(az)))
-                sun_els.append(30.0 + 35.0 * ((i * 7) % m) / max(m - 1, 1))
+                sun_els.append(30.0 + 35.0 * ((i * phi) % 1.0))
                 sun_azs.append((140.0 + ga * i) % 360.0)
     names = []
     # shared bundle-adjustment tie points on the terrain (ECEF, the BA

@@ -33,6 +33,9 @@ def spsnerf_run(aoi, tmp_path_factory):
         "--root_dir", aoi["root"], "--logs_dir", logs,
         "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
         "--aoi_id", aoi["aoi_id"],
+        # --mapping so the int8-override eval test exercises the actual
+        # quantized trunk (the int8 gate needs mapping AND siren)
+        "--mapping",
         "--fc_feat", "64", "--fc_layers", "4",
         "--n_samples", "8", "--guided_samples", "8",
         "--batch_size", "256", "--max_train_steps", "60",
@@ -187,7 +190,9 @@ def test_eval_freeze_all_mode(aoi, spsnerf_run, tmp_path):
     base = [
         "--model", "sps-nerf", "--root_dir", aoi["root"],
         "--logs_dir", logs, "--ckpts_dir", ckpts,
-        "--aoi_id", aoi["aoi_id"], "--fc_feat", "64", "--fc_layers", "4",
+        "--aoi_id", aoi["aoi_id"],
+        "--mapping",     # match spsnerf_run's trunk input width
+        "--fc_feat", "64", "--fc_layers", "4",
         "--n_samples", "8", "--guided_samples", "8",
         "--batch_size", "256", "--ds_lambda", "10", "--lr", "1e-3",
         "--eval_every_n_epochs", "1000"]
@@ -221,6 +226,9 @@ def test_eval_cli_int8_override(spsnerf_run, tmp_path):
     q = evaluate(run_dir, last, output_dir=str(tmp_path / "int8"),
                  compute_dtype="int8")
     assert np.isfinite(q["psnr"])
+    # the quantized trunk actually ran (identical scores would mean the
+    # int8 gate silently fell back -- it needs mapping AND siren)
+    assert q["psnr"] != base["psnr"]
     # int8 perturbs sampled z positions too, so allow ~1 dB
     assert abs(q["psnr"] - base["psnr"]) < 1.5, (q["psnr"], base["psnr"])
     assert abs(q["ssim"] - base["ssim"]) < 0.05
