@@ -67,7 +67,9 @@ def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
             k=r.get("rpv_k_coarse"), theta=r.get("rpv_theta_coarse"),
             rhoc=r.get("rpv_rhoc_coarse"),
             albedo=r.get("albedo_accu_coarse"),
-            normal=r.get("normal_an_coarse"),
+            # score the normal the BRDF consumed (normal_lr preferred
+            # when present, spsbrdfnerf.py:234-239)
+            normal=r.get("normal_lr_coarse", r.get("normal_an_coarse")),
             depth=r.get("depth_coarse"), rgb=r.get("rgb_coarse")))
     return out
 
@@ -146,10 +148,17 @@ def main(argv=None):
                          "to make the 4-unknown per-point inversion "
                          "overdetermined")
     ap.add_argument("--nr_spv_lambda", type=float, default=0.0,
-                    help="type-3 normal supervision weight for stage 2 "
+                    help="normal supervision weight for stage 2 "
                          "(reference capability, 0 in its blessed "
                          "command; the analytic normals the BRDF "
                          "consumes are unsupervised noise without it)")
+    ap.add_argument("--normal", default="analystic",
+                    choices=["analystic", "learned", "analystic_learned"],
+                    help="stage-2 normal mode (opt.py:328-334 derives "
+                         "nr_spv_type: analystic->3 supervises the "
+                         "sigma-gradient normal; learned->2 supervises "
+                         "the grad_from_xyz head, which the BRDF then "
+                         "prefers, spsbrdfnerf.py:234-239)")
     a = ap.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -180,7 +189,7 @@ def main(argv=None):
     res2 = run_config(
         "inv-stage2",
         ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage2",
-         "--in_ckpts", s1, "--normal", "analystic",
+         "--in_ckpts", s1, "--normal", a.normal,
          "--funcM", "1", "--funcF", "1", "--funcH", "1",
          "--brdf_on", "0", "--cos_irra_on", "0",
          "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)]
@@ -200,7 +209,8 @@ def main(argv=None):
     result["stage2_curve_tail"] = res2["curve"][-3:]
     result["config"] = {"n_train": a.n_train, "size": a.size,
                         "steps1": a.steps1, "steps2": a.steps2,
-                        "nr_spv_lambda": a.nr_spv_lambda}
+                        "nr_spv_lambda": a.nr_spv_lambda,
+                        "normal": a.normal}
     out = os.path.join(a.workdir, "inversion_result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
