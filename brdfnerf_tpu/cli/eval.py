@@ -39,7 +39,8 @@ def find_best_t_for_val_image(tr, sample, psnr_fn, n_vocab: int):
 
 def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              checkpoints_dir: str = None, output_dir: str = None,
-             find_best_t: bool = False, compute_dtype: str = None) -> Dict:
+             find_best_t: bool = False, compute_dtype: str = None,
+             normal_at_surface: bool = None) -> Dict:
     import jax.numpy as jnp
     from ..train import Trainer, TrainerPaths
     from ..utils import checkpoint as ckpt
@@ -55,6 +56,12 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
         import dataclasses as dc
         cfg = dc.replace(cfg, model=dc.replace(cfg.model,
                                                compute_dtype=compute_dtype))
+    if normal_at_surface is not None:
+        # serving accel override: one analytic normal per ray at the
+        # expected surface (BASELINE.md "Serving precision" trade-off)
+        import dataclasses as dc
+        cfg = dc.replace(cfg, render=dc.replace(
+            cfg.render, normal_at_surface=bool(normal_at_surface)))
     out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -187,7 +194,8 @@ def main(argv=None):
              checkpoints_dir=args.checkpoints_dir,
              output_dir=args.output_dir,
              find_best_t=bool(args.find_best_t),
-             compute_dtype=args.compute_dtype)
+             compute_dtype=args.compute_dtype,
+             normal_at_surface=args.normal_at_surface)
     return 0
 
 

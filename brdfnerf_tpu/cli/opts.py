@@ -211,6 +211,13 @@ def eval_parser() -> argparse.ArgumentParser:
                         "trunk through the int8 MXU path — serving-only, "
                         "pair with --normal_at_surface-trained or accept "
                         "bf16 gradients for per-sample analytic normals")
+    p.add_argument("--normal_at_surface", type=int, default=None,
+                   help="override the run's normal_at_surface for this "
+                        "evaluation (1/0). One analytic normal per ray at "
+                        "the expected surface: +25%% serving throughput "
+                        "(93.6k vs 74.7k rays/s flagship, BASELINE.md), "
+                        "rgb mean|dev| ~0.03 vs per-sample semantics — "
+                        "serving accel, not a metrics-parity mode")
     return p
 
 

@@ -232,6 +232,13 @@ def test_eval_cli_int8_override(spsnerf_run, tmp_path):
     # int8 perturbs sampled z positions too, so allow ~1 dB
     assert abs(q["psnr"] - base["psnr"]) < 1.5, (q["psnr"], base["psnr"])
     assert abs(q["ssim"] - base["ssim"]) < 0.05
+    # serving accel override (one normal per ray at the surface): runs
+    # end-to-end and scores in the same ballpark
+    srf = evaluate(run_dir, last, output_dir=str(tmp_path / "surf"),
+                   normal_at_surface=True)
+    assert np.isfinite(srf["psnr"])
+    assert abs(srf["psnr"] - base["psnr"]) < 3.0, (srf["psnr"],
+                                                   base["psnr"])
 
 
 def test_nr_spv_type_derivation():
