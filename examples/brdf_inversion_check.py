@@ -152,6 +152,11 @@ def main(argv=None):
                          "(reference capability, 0 in its blessed "
                          "command; the analytic normals the BRDF "
                          "consumes are unsupervised noise without it)")
+    ap.add_argument("--hotspot_view", action="store_true",
+                    help="align the last train view's sun with its view "
+                         "direction (phase angle ~0 at image center) so "
+                         "the RPV hotspot factor — and hence rhoc — "
+                         "becomes observable")
     ap.add_argument("--normal", default="analystic",
                     choices=["analystic", "learned", "analystic_learned"],
                     help="stage-2 normal mode (opt.py:328-334 derives "
@@ -166,7 +171,8 @@ def main(argv=None):
 
     print(f"== building BRDF-shaded AOI (RPV gt {RPV_GT}) ==", flush=True)
     aoi = build_aoi(os.path.join(a.workdir, "aoi"), n_train=a.n_train,
-                    n_test=1, bumpy=True, size=a.size, brdf=RPV_GT)
+                    n_test=1, bumpy=True, size=a.size, brdf=RPV_GT,
+                    hotspot_view=a.hotspot_view)
     logs = os.path.join(a.workdir, "logs")
     ckpts = os.path.join(a.workdir, "ckpts")
     common = ["--root_dir", aoi["root"], "--logs_dir", logs,
@@ -210,7 +216,8 @@ def main(argv=None):
     result["config"] = {"n_train": a.n_train, "size": a.size,
                         "steps1": a.steps1, "steps2": a.steps2,
                         "nr_spv_lambda": a.nr_spv_lambda,
-                        "normal": a.normal}
+                        "normal": a.normal,
+                        "hotspot_view": bool(a.hotspot_view)}
     out = os.path.join(a.workdir, "inversion_result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)

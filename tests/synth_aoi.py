@@ -164,7 +164,8 @@ ALB_SCALE = 0.5     # albedo = ALB_SCALE * ground_texture in BRDF mode,
 def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
               depth_subdir: str = "DenseDepth_ZM4",
               with_keypoints: bool = False, bumpy: bool = False,
-              size: int = None, brdf: dict = None):
+              size: int = None, brdf: dict = None,
+              hotspot_view: bool = False):
     """size: image height/width in pixels (default the module's 32).
     The ground FOOTPRINT is fixed by the RPC lat/lon scales, so size only
     changes sampling density — larger sizes give realistic
@@ -183,12 +184,12 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     so 3 views give only 2 brightness ratios for 3 parameters."""
     h = w = int(size) if size is not None else H
     return _build_aoi(root, n_train, n_test, depth_subdir,
-                      with_keypoints, bumpy, h, w, brdf)
+                      with_keypoints, bumpy, h, w, brdf, hotspot_view)
 
 
 def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
                with_keypoints: bool, bumpy: bool, h: int = H, w: int = W,
-               brdf: dict = None):
+               brdf: dict = None, hotspot_view: bool = False):
     os.makedirs(root, exist_ok=True)
     depth_dir = os.path.join(root, depth_subdir)
     os.makedirs(depth_dir, exist_ok=True)
@@ -248,6 +249,15 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
             from brdfnerf_tpu.geo.geodesy import sun_direction
             nrm = terrain_normal(lon, lat, bumpy)
             vup = view_dir_up(rpc_d, cols, rows)
+            if hotspot_view and i == n_train - 1:
+                # place the sun ON this view's center direction: phase
+                # angle ~0 at the image center, so the RPV hotspot
+                # factor H(rhoc; G->0) = 2 - rhoc becomes observable —
+                # without it satellite-style geometry never samples the
+                # hotspot and rhoc is correctly unidentifiable
+                v0 = vup[h // 2, w // 2]
+                sun_el = float(np.degrees(np.arcsin(v0[2])))
+                sun_az = float(np.degrees(np.arctan2(v0[0], v0[1]))) % 360.0
             sun = np.broadcast_to(sun_direction(sun_el, sun_az), vup.shape)
             rad = rpv_radiance(ALB_SCALE * tex, vup, sun, nrm,
                                brdf["k"], brdf["theta"], brdf["rhoc"])
