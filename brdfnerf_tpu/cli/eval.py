@@ -50,18 +50,18 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
 
     args = opts_mod.load_opts(run_dir)
     cfg = opts_mod.to_run_config(args)
-    if compute_dtype:
-        # serving-precision override (e.g. --compute_dtype int8 evaluates
-        # a bf16/f32-trained checkpoint through the int8 MXU trunk)
+    if compute_dtype or normal_at_surface is not None:
+        # serving overrides (BASELINE.md "Serving precision"):
+        # --compute_dtype int8 runs a bf16/f32-trained checkpoint through
+        # the quantized trunk; --normal_at_surface 1 takes one analytic
+        # normal per ray at the expected surface
         import dataclasses as dc
-        cfg = dc.replace(cfg, model=dc.replace(cfg.model,
-                                               compute_dtype=compute_dtype))
-    if normal_at_surface is not None:
-        # serving accel override: one analytic normal per ray at the
-        # expected surface (BASELINE.md "Serving precision" trade-off)
-        import dataclasses as dc
-        cfg = dc.replace(cfg, render=dc.replace(
-            cfg.render, normal_at_surface=bool(normal_at_surface)))
+        if compute_dtype:
+            cfg = dc.replace(cfg, model=dc.replace(
+                cfg.model, compute_dtype=compute_dtype))
+        if normal_at_surface is not None:
+            cfg = dc.replace(cfg, render=dc.replace(
+                cfg.render, normal_at_surface=bool(normal_at_surface)))
     out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -288,15 +288,22 @@ def sigma_and_sun_v(params, cfg: ModelConfig, xyz, sun_d):
     return sigma, sun_v
 
 
+def _grad_safe_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Config for paths that DIFFERENTIATE the trunk: the int8
+    quantizer's round() has zero gradient, so gradient consumers run on
+    the bfloat16_all twin instead (no-op for every other dtype)."""
+    if cfg.compute_dtype == "int8":
+        import dataclasses as _dc
+        return _dc.replace(cfg, compute_dtype="bfloat16_all")
+    return cfg
+
+
 def analytic_normals(params, cfg: ModelConfig, xyz):
     """-normalize(grad_xyz sigma): exact analog of calc_normals
     (spsbrdfnerf.py:648-660) expressed as jax.grad of the summed density —
     valid because sigma at a point depends only on that point's xyz, and
     differentiable end-to-end (grad-of-grad handled by JAX)."""
-    if cfg.compute_dtype == "int8":
-        # round() has zero gradient: differentiate the bf16 twin instead
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
+    cfg = _grad_safe_cfg(cfg)
     grad = jax.grad(lambda x: jnp.sum(sigma_fn(params, cfg, x)))(xyz)
     return -l2_normalize(grad.astype(jnp.float32))
 
@@ -337,18 +344,14 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
     fused_trunk: run the differentiated trunk as the fused Pallas kernel
     pair with a hand-derived custom VJP (ops/pallas_trunk_vjp.py) —
     numerically equivalent, all activations VMEM-resident."""
-    grad_cfg = cfg
-    if cfg.compute_dtype == "int8":
-        # per-sample analytic normals differentiate the trunk, and round()
-        # has zero gradient — this branch runs wholly on the bf16 twin
-        # (including the fused custom-VJP kernels below, which is why
-        # grad_cfg is computed BEFORE the kernel_supports gate).  int8
-        # still accelerates the sigma-only and sun-march passes; for the
-        # full pass pair it with RenderConfig.normal_at_surface, which
-        # keeps the per-sample forward int8 and takes ONE bf16 gradient
-        # per ray at the expected surface instead.
-        import dataclasses as _dc
-        grad_cfg = _dc.replace(cfg, compute_dtype="bfloat16_all")
+    # this path differentiates the trunk per sample, so under int8 it
+    # runs wholly on the bf16 twin — including the fused custom-VJP
+    # kernels below, which is why grad_cfg is computed BEFORE the
+    # kernel_supports gate.  int8 still accelerates the sigma-only and
+    # sun-march passes; for the full pass pair it with
+    # RenderConfig.normal_at_surface, which keeps the per-sample forward
+    # int8 and takes ONE bf16 gradient per ray at the surface instead.
+    grad_cfg = _grad_safe_cfg(cfg)
 
     # the fused kernels assume the reference architecture (exactly one
     # IN-RANGE skip layer, nerf.py:165); fall back to XLA autodiff

@@ -190,16 +190,14 @@ def main(argv=None):
                logs, ckpts)
     s1 = last_epoch_ckpt(os.path.join(ckpts, "inv-stage1"))
 
-    stage2_extra = ([] if a.nr_spv_lambda == 0.0
-                    else ["--nr_spv_lambda", str(a.nr_spv_lambda)])
     res2 = run_config(
         "inv-stage2",
         ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage2",
          "--in_ckpts", s1, "--normal", a.normal,
+         "--nr_spv_lambda", str(a.nr_spv_lambda),
          "--funcM", "1", "--funcF", "1", "--funcH", "1",
          "--brdf_on", "0", "--cos_irra_on", "0",
-         "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)]
-        + stage2_extra + common,
+         "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)] + common,
         logs, ckpts)
 
     run2 = os.path.join(logs, "inv-stage2")
