@@ -7,7 +7,7 @@ Lambertian LIMIT (k ~ 1, theta ~ 0) from Lambertian imagery; this
 experiment is the stronger converse the reference itself cannot do with
 real imagery (no ground truth exists for a real surface's BRDF): the
 bumpy synthetic AOI is shaded with I = |sun_z| * albedo * RPV(view, sun,
-normal; k*, theta*, rhoc*) per pixel (tests/synth_aoi.py rpv_radiance,
+normal; k*, theta*, rhoc*) per pixel (brdfnerf_tpu/data/synth_aoi.py rpv_radiance,
 k*=0.75 theta*=-0.20 rhoc*=0.55), four views at 0-20 deg off-nadir with
 sun spread over azimuth AND elevation, and the recovered per-pixel
 rpv_k / rpv_theta / rpv_rhoc / albedo / normal maps are compared against
@@ -76,7 +76,7 @@ def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
 
 def ground_truth_fields(aoi_root: str, src_id: str, h: int, w: int):
     """GT albedo / normal at each pixel's terrain intersection, from the
-    generator's own world model (tests/synth_aoi.py)."""
+    generator's own world model (brdfnerf_tpu.data.synth_aoi)."""
     import synth_aoi as sa
     with open(os.path.join(aoi_root, src_id + ".json")) as f:
         rpc_d = json.load(f)["rpc"]
