@@ -139,6 +139,9 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps1", type=int, default=10000)
     ap.add_argument("--steps2", type=int, default=10000)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed for both stages (init + ray "
+                         "sampling); the AOI itself is deterministic")
     ap.add_argument("--n_train", type=int, default=3,
                     help="<= 3 = the reference's blessed fixed 4-entry "
                          "view/sun tables (per-point inversion "
@@ -182,7 +185,8 @@ def main(argv=None):
               "--batch_size", "1024", "--n_samples", "64",
               "--guided_samples", "64", "--ds_lambda", "10",
               "--eval_every_n_epochs", "2",
-              "--save_ckpt_every_n_epochs", "2"]
+              "--save_ckpt_every_n_epochs", "2",
+              "--seed", str(a.seed)]
 
     run_config("inv-stage1",
                ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage1",
@@ -215,7 +219,8 @@ def main(argv=None):
                         "steps1": a.steps1, "steps2": a.steps2,
                         "nr_spv_lambda": a.nr_spv_lambda,
                         "normal": a.normal,
-                        "hotspot_view": bool(a.hotspot_view)}
+                        "hotspot_view": bool(a.hotspot_view),
+                        "seed": a.seed}
     out = os.path.join(a.workdir, "inversion_result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
