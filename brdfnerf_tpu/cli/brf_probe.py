@@ -34,29 +34,19 @@ def main(argv=None):
     p.add_argument("--output_dir", default=None)
     args = p.parse_args(argv)
 
-    from . import opts as opts_mod
-    from .eval import _dummy_store
-    from ..train import Trainer, TrainerPaths
-    from ..utils import checkpoint as ckpt
     from ..analysis import brf_probe, pixel_param_probe
-    from ..data.satellite import SatelliteDataset
+    from ..serve import load_renderer
 
-    ropts = opts_mod.load_opts(args.logs_dir)
-    cfg = opts_mod.to_run_config(ropts)
     out_dir = args.output_dir or os.path.join(
         args.logs_dir, f"brf_epoch{args.epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    sat_cfg = opts_mod.sat_config_from_opts(ropts)
-    ds = SatelliteDataset(sat_cfg, split="val")
+    r = load_renderer(args.logs_dir, args.epoch_number,
+                      output_dir=out_dir)
+    cfg, ds = r.cfg, r.dataset
     s = ds.get_image(args.image_idx)
     h, w = s["h"], s["w"]
-
-    ckpt_path = ckpt.resolve_epoch_ckpt(
-        os.path.join(ropts.ckpts_dir, ropts.exp_name), args.epoch_number)
-    tr = Trainer(cfg, _dummy_store(ds),
-                 TrainerPaths(logs_dir=out_dir, ckpts_dir=out_dir))
-    params = ckpt.restore_params(tr.state.params, ckpt_path)
+    params = r.trainer.state.params
 
     pixels = ([(int(r), int(c)) for r, c in
                (pp.split(",") for pp in args.pixels)]

@@ -47,29 +47,16 @@ def main(argv=None):
     p.add_argument("--output_dir", type=str, default=None)
     args = p.parse_args(argv)
 
-    from . import opts as opts_mod
-    from .eval import _dummy_store
-    from ..train import Trainer, TrainerPaths
-    from ..utils import checkpoint as ckpt
     from ..geo import dsm as dsm_mod
-    from ..data.satellite import SatelliteDataset
+    from ..serve import load_renderer
 
-    ropts = opts_mod.load_opts(args.logs_dir)
-    cfg = opts_mod.to_run_config(ropts)
     out_dir = args.output_dir or os.path.join(
         args.logs_dir, f"dsm_epoch{args.epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    sat_cfg = opts_mod.sat_config_from_opts(ropts)
-    val_ds = SatelliteDataset(sat_cfg, split="val")
-
-    ckpt_path = ckpt.resolve_epoch_ckpt(
-        os.path.join(ropts.ckpts_dir, ropts.exp_name), args.epoch_number)
-    paths = TrainerPaths(logs_dir=out_dir, ckpts_dir=out_dir,
-                         gt_dir=ropts.gt_dir, aoi_id=ropts.aoi_id)
-    tr = Trainer(cfg, _dummy_store(val_ds), paths, val_dataset=val_ds)
-    tr.state = tr.state._replace(
-        params=ckpt.restore_params(tr.state.params, ckpt_path))
+    r = load_renderer(args.logs_dir, args.epoch_number,
+                      output_dir=out_dir)
+    ropts, tr, val_ds = r.args, r.trainer, r.dataset
 
     view_idx, sun = most_nadir_indices(val_ds)
     s = val_ds.get_image(view_idx)

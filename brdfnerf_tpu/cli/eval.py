@@ -42,59 +42,24 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              find_best_t: bool = False, compute_dtype: str = None,
              normal_at_surface: bool = None) -> Dict:
     import jax.numpy as jnp
-    from ..train import Trainer, TrainerPaths
-    from ..utils import checkpoint as ckpt
     from ..utils.geotiff import write_geotiff, GeoProfile
     from ..metrics import psnr as psnr_m, masked_scores
     from ..geo import dsm as dsm_mod
+    from ..serve import load_renderer
 
-    args = opts_mod.load_opts(run_dir)
-    cfg = opts_mod.to_run_config(args)
-    if compute_dtype or normal_at_surface is not None:
-        # serving overrides (BASELINE.md "Serving precision"):
-        # --compute_dtype int8 runs a bf16/f32-trained checkpoint through
-        # the quantized trunk; --normal_at_surface 1 takes one analytic
-        # normal per ray at the expected surface
-        import dataclasses as dc
-        if compute_dtype:
-            cfg = dc.replace(cfg, model=dc.replace(
-                cfg.model, compute_dtype=compute_dtype))
-        if normal_at_surface is not None:
-            cfg = dc.replace(cfg, render=dc.replace(
-                cfg.render, normal_at_surface=bool(normal_at_surface)))
     out_dir = output_dir or os.path.join(run_dir, f"eval_epoch{epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    # --split: 'train' renders every training image, anything else the
-    # fixed val set (train img 0 + test imgs) (eval.py:238-249)
-    ds_split = "train_render" if split == "train" else "val"
-    if args.data == "blender":
-        from ..data.blender import BlenderDataset
-        val_ds = BlenderDataset(
-            args.root_dir,
-            split=("train" if split == "train" else "val"),
-            img_wh=tuple(args.img_wh))
-        store = None
-    else:
-        from ..data.satellite import SatelliteDataset
-        sat_cfg = opts_mod.sat_config_from_opts(args)
-        val_ds = SatelliteDataset(sat_cfg, split=ds_split)
-        store = None
-
-    ckpts_dir = checkpoints_dir or os.path.join(args.ckpts_dir, args.exp_name)
-    # native .npz, or a reference-trained Lightning .ckpt converted on load
-    ckpt_path = ckpt.resolve_epoch_ckpt(ckpts_dir, epoch_number)
-
-    # trainer used purely as the render harness; params come from the ckpt
-    dummy_store = _dummy_store(val_ds)
-    paths = TrainerPaths(logs_dir=out_dir, ckpts_dir=ckpts_dir,
-                         gt_dir=args.gt_dir, aoi_id=args.aoi_id)
-    tr = Trainer(cfg, dummy_store, paths, val_dataset=val_ds, seed=0)
-    tr.eval_chunk = int(getattr(args, "chunk", 5120) or 5120)
-    # --TestSun_v from the reloaded opts.json forces the sun-vis march
-    tr.test_sun_v = bool(getattr(args, "test_sun_v", 0))
-    params = ckpt.restore_params(tr.state.params, ckpt_path)
-    tr.state = tr.state._replace(params=params)
+    # serve.load_renderer: opts.json reload, split dataset ('train' =
+    # every training image, eval.py:238-249), checkpoint restore into
+    # the render harness, serving overrides (BASELINE.md "Serving
+    # precision")
+    r = load_renderer(run_dir, epoch_number,
+                      checkpoints_dir=checkpoints_dir, split=split,
+                      compute_dtype=compute_dtype,
+                      normal_at_surface=normal_at_surface,
+                      output_dir=out_dir)
+    args, tr, val_ds = r.args, r.trainer, r.dataset
 
     psnrs, ssims, maes, maes_nr = [], [], [], []
     # best-PSNR embedding bookkeeping only applies to models that carry a
@@ -174,12 +139,9 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
 
 
 def _dummy_store(val_ds):
-    """Minimal ray store so Trainer can initialize without train data."""
-    s = val_ds.get_image(0)
-    n = 16
-    store = {"rays": s["rays"][:n], "rgbs": s["rgbs"][:n],
-             "ts": np.zeros(n, np.int32)}
-    return store
+    """Back-compat alias: moved to serve.dummy_store."""
+    from ..serve import dummy_store
+    return dummy_store(val_ds)
 
 
 def main(argv=None):

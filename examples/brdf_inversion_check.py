@@ -39,27 +39,14 @@ def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
     """Render every val image of the run and return per-image dicts of
     recovered maps: rpv_k/theta/rhoc (weighted-sum, (N,3)), albedo_accu,
     normal_an (weighted-sum), depth, mask, rays, src_id."""
-    from brdfnerf_tpu.cli import opts as opts_mod
-    from brdfnerf_tpu.cli.eval import _dummy_store
-    from brdfnerf_tpu.train import Trainer, TrainerPaths
-    from brdfnerf_tpu.utils import checkpoint as ckpt
-    from brdfnerf_tpu.data.satellite import SatelliteDataset
+    from brdfnerf_tpu.serve import load_renderer
 
-    args = opts_mod.load_opts(run_dir)
-    cfg = opts_mod.to_run_config(args)
-    val_ds = SatelliteDataset(opts_mod.sat_config_from_opts(args),
-                              split="val")
-    tr = Trainer(cfg, _dummy_store(val_ds),
-                 TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir),
-                 val_dataset=val_ds, seed=0)
-    params = ckpt.restore_params(
-        tr.state.params, ckpt.resolve_epoch_ckpt(ckpts_dir, epoch))
-    tr.state = tr.state._replace(params=params)
+    ren = load_renderer(run_dir, epoch, checkpoints_dir=ckpts_dir)
 
     out = []
-    for idx in range(len(val_ds)):
-        s = val_ds.get_image(idx)
-        r = tr.render_image(s)
+    for idx in range(len(ren)):
+        s = ren.get_image(idx)
+        r = ren.render_image(s)
         out.append(dict(
             src_id=s.get("src_id", str(idx)), h=s["h"], w=s["w"],
             rays=s["rays"], mask=s.get("mask"),
