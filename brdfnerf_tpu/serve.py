@@ -64,7 +64,8 @@ def load_renderer(run_dir: str, epoch_number: int,
                   split: str = "val",
                   compute_dtype: Optional[str] = None,
                   normal_at_surface: Optional[bool] = None,
-                  output_dir: Optional[str] = None) -> Renderer:
+                  output_dir: Optional[str] = None,
+                  n_devices: int = 0) -> Renderer:
     """Reload a run's opts.json (the reference contract, eval.py:228-229),
     build the requested split's dataset, and restore the epoch checkpoint
     into a render harness.
@@ -72,7 +73,12 @@ def load_renderer(run_dir: str, epoch_number: int,
     split: 'val' = train img 0 + test imgs; 'train' = every training
     image (eval.py:238-249).  Native epoch={n}.npz checkpoints and
     reference-format Lightning .ckpt files both resolve
-    (utils/checkpoint.resolve_epoch_ckpt)."""
+    (utils/checkpoint.resolve_epoch_ckpt).
+
+    n_devices > 0: multi-chip serving — a 1-D ray-sharding mesh over
+    the first N devices; params replicate, each image's rays shard
+    over the mesh (the same sharded/scan render paths dryrun_multichip
+    certifies)."""
     import dataclasses as dc
 
     from .cli import opts as opts_mod
@@ -103,10 +109,16 @@ def load_renderer(run_dir: str, epoch_number: int,
                                                 args.exp_name)
     ckpt_path = ckpt.resolve_epoch_ckpt(ckpts_dir, epoch_number)
 
+    mesh = None
+    if n_devices:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(n_devices)
+
     paths = TrainerPaths(logs_dir=output_dir or run_dir,
                          ckpts_dir=ckpts_dir,
                          gt_dir=args.gt_dir, aoi_id=args.aoi_id)
-    tr = Trainer(cfg, dummy_store(ds), paths, val_dataset=ds, seed=0)
+    tr = Trainer(cfg, dummy_store(ds), paths, val_dataset=ds, seed=0,
+                 mesh=mesh)
     tr.eval_chunk = int(getattr(args, "chunk", 5120) or 5120)
     tr.test_sun_v = bool(getattr(args, "test_sun_v", 0))
     tr.state = tr.state._replace(

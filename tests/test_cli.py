@@ -241,6 +241,31 @@ def test_eval_cli_int8_override(spsnerf_run, tmp_path):
                                                    base["psnr"])
 
 
+def test_serve_api(spsnerf_run):
+    """serve.load_renderer: the one-call serving API behind the
+    eval/create_dsm/brf_probe CLIs — and multi-chip serving via
+    n_devices (rays shard over the mesh, identical image)."""
+    import jax
+    from brdfnerf_tpu.serve import load_renderer
+
+    r = load_renderer(spsnerf_run["run_dir"], spsnerf_run["last_epoch"])
+    assert len(r) >= 1
+    out = r.render_image(0)
+    s = r.get_image(0)
+    rgb = out["rgb_coarse"].reshape(s["h"], s["w"], 3)
+    assert np.isfinite(rgb).all()
+
+    if jax.device_count() >= 8:
+        rm = load_renderer(spsnerf_run["run_dir"],
+                           spsnerf_run["last_epoch"], n_devices=8)
+        out8 = rm.render_image(0)
+        # scan-vs-loop fusion differences are ~1e-4 mean (BASELINE.md);
+        # mesh sharding itself is bit-identical per dryrun_multichip
+        d = np.abs(np.asarray(out8["rgb_coarse"])
+                   - np.asarray(out["rgb_coarse"]))
+        assert float(d.mean()) < 5e-3, float(d.mean())
+
+
 def test_nr_spv_type_derivation():
     from brdfnerf_tpu.cli.opts import train_parser, postprocess
     args = postprocess(train_parser().parse_args(
