@@ -120,6 +120,44 @@ def view_dir_up(rpc_d, cols, rows):
 # heads' output ranges (k in [0,2], theta in [-1,1], rhoc in [0,1])
 RPV_GT = dict(k=0.75, theta=-0.20, rhoc=0.55)
 
+# ground-truth Hapke parameters for the Hapke-shaded AOI variant; inside
+# the heads' output ranges (b, c in [0,1] sigmoids; theta in [0, 30 deg]
+# = [0, 0.524] rad) and non-trivial: b/c give a genuine double-HG phase
+# lobe and theta a real macroscopic-roughness shadowing term
+HAPKE_GT = dict(b=0.35, c=0.60, theta=0.25)
+
+
+HAPKE_HPK_SCL = 1.0   # generator + trained model must agree on the BRF
+# normalizer; the ModelConfig default 4.0 leaves uint8 imagery at
+# max ~0.12 (30 gray levels), so the Hapke study uses --hpk_scl 1
+
+
+def hapke_radiance(albedo, view_up, sun_up, normal, b, c, theta,
+                   hpk_scl: float = HAPKE_HPK_SCL):
+    """Top-of-atmosphere radiance of a Hapke surface under the
+    framework's rendering equation for the blessed Hapke stage-2 config
+    (cos_irra_on, per-ray BRDF):
+
+        I = |sun_z| * HapkeBRF(view, sun, normal; w=albedo, b, c, theta)
+
+    Evaluated through brdfnerf_tpu.brdf.hapke.hapke_brdf itself (full
+    BRF shell 0) so clamp/eps conventions match the trained model
+    exactly — same pattern as rpv_radiance."""
+    import numpy as _np
+    from brdfnerf_tpu.brdf.hapke import hapke_brdf
+    sh = _np.shape(albedo)
+    n = int(_np.prod(sh))
+    flat = lambda a: _np.asarray(a, _np.float32).reshape(-1, 3)
+    ones3 = _np.ones((n, 3), _np.float32)
+    alb = _np.repeat(_np.asarray(albedo, _np.float32).reshape(-1, 1),
+                     3, axis=1)
+    brf, *_ = hapke_brdf(flat(sun_up), flat(view_up), flat(normal), alb,
+                         b * ones3, c * ones3,
+                         _np.full(n, theta, _np.float32),
+                         hpk_scl=hpk_scl, shell_hapke=0)
+    irr = _np.abs(_np.asarray(sun_up, _np.float64).reshape(-1, 3)[:, 2])
+    return (irr[:, None] * _np.asarray(brf)).reshape(sh + (3,))
+
 
 def rpv_radiance(albedo, view_up, sun_up, normal, k, theta, rhoc):
     """Top-of-atmosphere radiance of a surface with the given RPV
@@ -270,8 +308,14 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
                 sun_el = float(np.degrees(np.arcsin(v0[2])))
                 sun_az = float(np.degrees(np.arctan2(v0[0], v0[1]))) % 360.0
             sun = np.broadcast_to(sun_direction(sun_el, sun_az), vup.shape)
-            rad = rpv_radiance(ALB_SCALE * tex, vup, sun, nrm,
-                               brdf["k"], brdf["theta"], brdf["rhoc"])
+            # family dispatch by parameter names: RPV {k, theta, rhoc},
+            # Hapke {b, c, theta}
+            if "k" in brdf:
+                rad = rpv_radiance(ALB_SCALE * tex, vup, sun, nrm,
+                                   brdf["k"], brdf["theta"], brdf["rhoc"])
+            else:
+                rad = hapke_radiance(ALB_SCALE * tex, vup, sun, nrm,
+                                     brdf["b"], brdf["c"], brdf["theta"])
             rgb = np.clip(rad, 0.0, 1.0).transpose(2, 0, 1).astype(np.float32)
         else:
             rgb = np.stack([tex, tex, tex]).astype(np.float32)

@@ -35,13 +35,31 @@ import numpy as np
 from run_utils import last_epoch_ckpt, run_config
 
 
-def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
+# per-family ground truth, recovered-map keys, and stage-2 CLI flags
+FAMILIES = {
+    "rpv": dict(
+        keys={"k": "rpv_k_coarse", "theta": "rpv_theta_coarse",
+              "rhoc": "rpv_rhoc_coarse"},
+        flags=["--funcM", "1", "--funcF", "1", "--funcH", "1"]),
+    "hapke": dict(
+        keys={"b": "hpk_b_coarse", "c": "hpk_c_coarse",
+              "theta": "hpk_theta_coarse"},
+        # --hpk_scl 1 matches synth_aoi.HAPKE_HPK_SCL: the default BRF
+        # normalizer 4.0 leaves uint8 imagery at ~30 gray levels
+        flags=["--b", "--c", "--theta", "--hpk_scl", "1"]),
+}
+
+
+def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int,
+                   family: str = "rpv"):
     """Render every val image of the run and return per-image dicts of
-    recovered maps: rpv_k/theta/rhoc (weighted-sum, (N,3)), albedo_accu,
-    normal_an (weighted-sum), depth, mask, rays, src_id."""
+    recovered maps: the family's BRDF parameters (weighted-sum),
+    albedo_accu, the BRDF-consumed normal (weighted-sum), depth, mask,
+    rays, src_id."""
     from brdfnerf_tpu.serve import load_renderer
 
     ren = load_renderer(run_dir, epoch, checkpoints_dir=ckpts_dir)
+    keys = FAMILIES[family]["keys"]
 
     out = []
     for idx in range(len(ren)):
@@ -51,8 +69,7 @@ def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int):
             src_id=s.get("src_id", str(idx)), h=s["h"], w=s["w"],
             rays=s["rays"], mask=s.get("mask"),
             is_val=bool(s.get("is_val", True)),
-            k=r.get("rpv_k_coarse"), theta=r.get("rpv_theta_coarse"),
-            rhoc=r.get("rpv_rhoc_coarse"),
+            params={p: r.get(key) for p, key in keys.items()},
             albedo=r.get("albedo_accu_coarse"),
             # score the normal the BRDF consumed (normal_lr preferred
             # when present, spsbrdfnerf.py:234-239)
@@ -81,8 +98,9 @@ def score(maps, aoi_root: str, gt: dict, val_only: bool = True):
     the depth supervision, so parameter maps are weight-summed through
     converged weights (the val view additionally measures novel-view
     geometry, which the blessed 3-view workload does not constrain)."""
+    names = sorted(gt)
     rows = []
-    pooled = {p: [] for p in ("k", "theta", "rhoc")}
+    pooled = {p: [] for p in names}
     alb_err, nr_err = [], []
     for m in maps:
         if m["is_val"] != val_only:
@@ -91,8 +109,8 @@ def score(maps, aoi_root: str, gt: dict, val_only: bool = True):
                if m["mask"] is not None
                else np.ones(m["h"] * m["w"], bool))
         rec = {}
-        for p in ("k", "theta", "rhoc"):
-            v = np.asarray(m[p])[msk].mean(-1)   # 3 tied channels -> 1
+        for p in names:
+            v = np.asarray(m["params"][p])[msk].mean(-1)  # tied chans -> 1
             rec[p] = dict(mean=float(v.mean()), std=float(v.std()),
                           gt=float(gt[p]),
                           abs_err=float(abs(v.mean() - gt[p])))
@@ -114,7 +132,7 @@ def score(maps, aoi_root: str, gt: dict, val_only: bool = True):
                        recovered_std=float(np.concatenate(pooled[p]).std()),
                        abs_err=float(abs(np.concatenate(pooled[p]).mean()
                                          - gt[p])))
-               for p in ("k", "theta", "rhoc")}
+               for p in names}
     summary["albedo_mae"] = float(np.mean(alb_err))
     summary["normal_mae_deg"] = float(np.mean(nr_err))
     return {"per_image": rows, "summary": summary}
@@ -154,14 +172,21 @@ def main(argv=None):
                          "sigma-gradient normal; learned->2 supervises "
                          "the grad_from_xyz head, which the BRDF then "
                          "prefers, spsbrdfnerf.py:234-239)")
+    ap.add_argument("--family", default="rpv", choices=sorted(FAMILIES),
+                    help="BRDF family to shade the imagery with and "
+                         "invert: rpv (k/theta/rhoc) or hapke "
+                         "(b/c/theta, full BRF shell 0)")
     a = ap.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
-    from synth_aoi import build_aoi, RPV_GT
+    from synth_aoi import build_aoi, RPV_GT, HAPKE_GT
 
-    print(f"== building BRDF-shaded AOI (RPV gt {RPV_GT}) ==", flush=True)
+    gt = RPV_GT if a.family == "rpv" else HAPKE_GT
+    fam = FAMILIES[a.family]
+    print(f"== building BRDF-shaded AOI ({a.family} gt {gt}) ==",
+          flush=True)
     aoi = build_aoi(os.path.join(a.workdir, "aoi"), n_train=a.n_train,
-                    n_test=1, bumpy=True, size=a.size, brdf=RPV_GT,
+                    n_test=1, bumpy=True, size=a.size, brdf=gt,
                     hotspot_view=a.hotspot_view)
     logs = os.path.join(a.workdir, "logs")
     ckpts = os.path.join(a.workdir, "ckpts")
@@ -185,10 +210,11 @@ def main(argv=None):
         "inv-stage2",
         ["--model", "spsbrdf-nerf", "--exp_name", "inv-stage2",
          "--in_ckpts", s1, "--normal", a.normal,
-         "--nr_spv_lambda", str(a.nr_spv_lambda),
-         "--funcM", "1", "--funcF", "1", "--funcH", "1",
-         "--brdf_on", "0", "--cos_irra_on", "0",
-         "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)] + common,
+         "--nr_spv_lambda", str(a.nr_spv_lambda)]
+        + fam["flags"]
+        + ["--brdf_on", "0", "--cos_irra_on", "0",
+           "--lr", "2.152e-4", "--max_train_steps", str(a.steps2)]
+        + common,
         logs, ckpts)
 
     run2 = os.path.join(logs, "inv-stage2")
@@ -196,9 +222,9 @@ def main(argv=None):
     last = int(os.path.basename(last_epoch_ckpt(ck2))[len("epoch="):-4])
     print(f"== reading recovered parameter maps (epoch {last}) ==",
           flush=True)
-    maps = recovered_maps(run2, ck2, last)
-    result = score(maps, aoi["root"], RPV_GT)
-    train_sc = score(maps, aoi["root"], RPV_GT, val_only=False)
+    maps = recovered_maps(run2, ck2, last, family=a.family)
+    result = score(maps, aoi["root"], gt)
+    train_sc = score(maps, aoi["root"], gt, val_only=False)
     result["train_view"] = {"per_image": train_sc["per_image"],
                             "summary": train_sc["summary"]}
     result["stage2_curve_tail"] = res2["curve"][-3:]
@@ -207,7 +233,7 @@ def main(argv=None):
                         "nr_spv_lambda": a.nr_spv_lambda,
                         "normal": a.normal,
                         "hotspot_view": bool(a.hotspot_view),
-                        "seed": a.seed}
+                        "seed": a.seed, "family": a.family}
     out = os.path.join(a.workdir, "inversion_result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
