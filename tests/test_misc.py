@@ -56,6 +56,29 @@ def test_blender_dataset(tmp_path):
     np.testing.assert_allclose(img["rgbs"][transparent], 1.0, atol=1e-6)
 
 
+def test_synth_aoi_brdf_families(tmp_path):
+    """BRDF-shaded AOI generation dispatches by parameter names (RPV
+    {k,theta,rhoc} vs Hapke {b,c,theta}) and both shade through the
+    framework's own BRDF kernels into sane uint8 dynamic range."""
+    from brdfnerf_tpu.data.synth_aoi import (build_aoi, RPV_GT, HAPKE_GT,
+                                             hapke_radiance)
+    from brdfnerf_tpu.utils.geotiff import read_geotiff
+    import os
+    for name, gt in [("rpv", RPV_GT), ("hapke", HAPKE_GT)]:
+        aoi = build_aoi(str(tmp_path / name), n_train=2, n_test=1,
+                        bumpy=True, size=16, brdf=gt)
+        for i in range(3):
+            im = np.asarray(read_geotiff(
+                os.path.join(aoi["root"], f"img_{i:02d}.tif"))[0],
+                np.float32) / 255.0
+            assert np.isfinite(im).all()
+            assert 0.02 < im.mean() < 0.9, (name, i, im.mean())
+    # direct radiance check: nadir view, sun at zenith, flat normal
+    up = np.tile([[0.0, 0.0, 1.0]], (4, 1))
+    rad = hapke_radiance(np.full(4, 0.4), up, up, up, **HAPKE_GT)
+    assert np.isfinite(rad).all() and (rad > 0).all() and (rad < 1).all()
+
+
 def test_brf_probe_shapes():
     from brdfnerf_tpu.analysis import brf_probe, view_dir_fan
     from brdfnerf_tpu.config import ModelConfig, RenderConfig
