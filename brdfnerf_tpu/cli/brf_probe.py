@@ -41,12 +41,12 @@ def main(argv=None):
         args.logs_dir, f"brf_epoch{args.epoch_number}")
     os.makedirs(out_dir, exist_ok=True)
 
-    r = load_renderer(args.logs_dir, args.epoch_number,
-                      output_dir=out_dir)
-    cfg, ds = r.cfg, r.dataset
+    ren = load_renderer(args.logs_dir, args.epoch_number,
+                        output_dir=out_dir)
+    cfg, ds = ren.cfg, ren.dataset
     s = ds.get_image(args.image_idx)
     h, w = s["h"], s["w"]
-    params = r.trainer.state.params
+    params = ren.trainer.state.params
 
     pixels = ([(int(r), int(c)) for r, c in
                (pp.split(",") for pp in args.pixels)]

@@ -134,51 +134,49 @@ HAPKE_HPK_SCL = 1.0   # generator + trained model must agree on the BRF
 
 def hapke_radiance(albedo, view_up, sun_up, normal, b, c, theta,
                    hpk_scl: float = HAPKE_HPK_SCL):
-    """Top-of-atmosphere radiance of a Hapke surface under the
-    framework's rendering equation for the blessed Hapke stage-2 config
-    (cos_irra_on, per-ray BRDF):
-
-        I = |sun_z| * HapkeBRF(view, sun, normal; w=albedo, b, c, theta)
-
-    Evaluated through brdfnerf_tpu.brdf.hapke.hapke_brdf itself (full
-    BRF shell 0) so clamp/eps conventions match the trained model
-    exactly — same pattern as rpv_radiance."""
-    import numpy as _np
+    """Ground-truth Hapke radiance:
+    I = |sun_z| * HapkeBRF(view, sun, normal; w=albedo, b, c, theta),
+    through brdfnerf_tpu.brdf.hapke.hapke_brdf (full BRF shell 0)."""
     from brdfnerf_tpu.brdf.hapke import hapke_brdf
-    sh = _np.shape(albedo)
-    n = int(_np.prod(sh))
-    flat = lambda a: _np.asarray(a, _np.float32).reshape(-1, 3)
-    ones3 = _np.ones((n, 3), _np.float32)
-    alb = _np.repeat(_np.asarray(albedo, _np.float32).reshape(-1, 1),
-                     3, axis=1)
-    brf, *_ = hapke_brdf(flat(sun_up), flat(view_up), flat(normal), alb,
-                         b * ones3, c * ones3,
-                         _np.full(n, theta, _np.float32),
-                         hpk_scl=hpk_scl, shell_hapke=0)
-    irr = _np.abs(_np.asarray(sun_up, _np.float64).reshape(-1, 3)[:, 2])
-    return (irr[:, None] * _np.asarray(brf)).reshape(sh + (3,))
+
+    def fn(sun, view, nrm, alb):
+        ones3 = np.ones_like(alb)
+        return hapke_brdf(sun, view, nrm, alb, b * ones3, c * ones3,
+                          np.full(alb.shape[0], theta, np.float32),
+                          hpk_scl=hpk_scl, shell_hapke=0)[0]
+
+    return _shaded_radiance(fn, albedo, view_up, sun_up, normal)
+
+
+def _shaded_radiance(brdf_fn, albedo, view_up, sun_up, normal):
+    """Shared shading shell for the ground-truth radiance helpers:
+    I = |sun_z| * BRDF(view, sun, normal; ...) — the framework's
+    rendering equation for the blessed stage-2 configs (cos_irra_on,
+    per-ray BRDF accumulation).  brdf_fn(sun, view, normal, albedo3)
+    -> (N, 3) BRDF values, evaluated through the framework's own BRDF
+    kernels so clamp/eps conventions match the trained model exactly."""
+    sh = np.shape(albedo)
+    flat = lambda a: np.asarray(a, np.float32).reshape(-1, 3)
+    alb = np.repeat(np.asarray(albedo, np.float32).reshape(-1, 1),
+                    3, axis=1)
+    brdf = brdf_fn(flat(sun_up), flat(view_up), flat(normal), alb)
+    irr = np.abs(np.asarray(sun_up, np.float64).reshape(-1, 3)[:, 2])
+    return (irr[:, None] * np.asarray(brdf)).reshape(sh + (3,))
 
 
 def rpv_radiance(albedo, view_up, sun_up, normal, k, theta, rhoc):
-    """Top-of-atmosphere radiance of a surface with the given RPV
-    parameters under the framework's own rendering equation for the
-    blessed stage-2 config (cos_irra_on, per-ray BRDF accumulation):
-
-        I = |sun_z| * albedo * M1(ci,cv;k) * F(cg;theta) * H(rhoc;G)
-
-    Evaluated through brdfnerf_tpu.brdf.rpv.rpv_brdf itself so the clamp /
-    eps conventions match the trained model exactly (the RPV formula's
-    parity vs the torch reference is golden-tested separately in
-    tests/test_reference_parity.py)."""
+    """Ground-truth RPV radiance:
+    I = |sun_z| * albedo * M1(ci,cv;k) * F(cg;theta) * H(rhoc;G),
+    through brdfnerf_tpu.brdf.rpv.rpv_brdf (parity vs the torch
+    reference is golden-tested in tests/test_reference_parity.py)."""
     from brdfnerf_tpu.brdf.rpv import rpv_brdf
-    sh = np.shape(albedo)
-    flat = lambda a: np.asarray(a, np.float32).reshape(-1, 3)
-    ones3 = np.ones((int(np.prod(sh)), 3), np.float32)
-    alb = np.repeat(np.asarray(albedo, np.float32).reshape(-1, 1), 3, axis=1)
-    brdf, *_ = rpv_brdf(flat(sun_up), flat(view_up), flat(normal), alb,
-                        k * ones3, theta * ones3, rhoc * ones3)
-    irr = np.abs(np.asarray(sun_up, np.float64).reshape(-1, 3)[:, 2])
-    return (irr[:, None] * np.asarray(brdf)).reshape(sh + (3,))
+
+    def fn(sun, view, nrm, alb):
+        ones3 = np.ones_like(alb)
+        return rpv_brdf(sun, view, nrm, alb, k * ones3, theta * ones3,
+                        rhoc * ones3)[0]
+
+    return _shaded_radiance(fn, albedo, view_up, sun_up, normal)
 
 
 def intersect_terrain(rpc_d, cols, rows, bumpy: bool, iters: int = 25):
@@ -222,9 +220,12 @@ def build_aoi(root: str, n_train: int = 2, n_test: int = 1,
     schedule geometry (the convergence runs use this; at 32 px the lr
     decays 0.9 every 2 steps and training freezes by step ~1000).
 
-    brdf: optional dict(k=, theta=, rhoc=) of ground-truth RPV parameters.
-    When set, the imagery is physically shaded instead of Lambertian:
-    I = |sun_z| * albedo * RPV(view, sun, normal; k, theta, rhoc) with
+    brdf: optional ground-truth BRDF parameter dict; the family is
+    dispatched by key names — dict(k=, theta=, rhoc=) shades with RPV
+    (see RPV_GT), dict(b=, c=, theta=) with the full Hapke BRF at
+    hpk_scl=HAPKE_HPK_SCL (see HAPKE_GT).  When set, the imagery is
+    physically shaded instead of Lambertian:
+    I = |sun_z| * BRDF(view, sun, normal; params) with
     albedo = ALB_SCALE * ground_texture, per-pixel terrain normals, the
     per-image view direction, and a per-image sun spread over azimuth AND
     elevation — the setup for the BRDF ground-truth inversion experiment

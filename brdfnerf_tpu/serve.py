@@ -54,8 +54,8 @@ class Renderer:
                      t: int = 0) -> Dict[str, np.ndarray]:
         """Render a full image: per-ray rgb/depth plus every weighted-sum
         diagnostic map (albedo, normals, BRDF parameters, sun...)."""
-        if isinstance(sample, int):
-            sample = self.dataset.get_image(sample)
+        if isinstance(sample, (int, np.integer)):
+            sample = self.dataset.get_image(int(sample))
         return self.trainer.render_image(sample, t=t)
 
 
@@ -111,7 +111,13 @@ def load_renderer(run_dir: str, epoch_number: int,
 
     mesh = None
     if n_devices:
+        import jax
         from .parallel.mesh import make_mesh
+        if jax.device_count() < n_devices:
+            raise ValueError(
+                f"n_devices={n_devices} but only {jax.device_count()} "
+                f"device(s) visible — a silently smaller mesh would "
+                f"serve at a fraction of the expected rate")
         mesh = make_mesh(n_devices)
 
     paths = TrainerPaths(logs_dir=output_dir or run_dir,

@@ -44,9 +44,7 @@ FAMILIES = {
     "hapke": dict(
         keys={"b": "hpk_b_coarse", "c": "hpk_c_coarse",
               "theta": "hpk_theta_coarse"},
-        # --hpk_scl 1 matches synth_aoi.HAPKE_HPK_SCL: the default BRF
-        # normalizer 4.0 leaves uint8 imagery at ~30 gray levels
-        flags=["--b", "--c", "--theta", "--hpk_scl", "1"]),
+        flags=["--b", "--c", "--theta"]),
 }
 
 
@@ -65,11 +63,16 @@ def recovered_maps(run_dir: str, ckpts_dir: str, epoch: int,
     for idx in range(len(ren)):
         s = ren.get_image(idx)
         r = ren.render_image(s)
+        missing = [key for key in keys.values() if key not in r]
+        if missing:
+            raise KeyError(
+                f"render output lacks {missing} — was the run trained "
+                f"with the '{family}' family's heads active?")
         out.append(dict(
             src_id=s.get("src_id", str(idx)), h=s["h"], w=s["w"],
             rays=s["rays"], mask=s.get("mask"),
             is_val=bool(s.get("is_val", True)),
-            params={p: r.get(key) for p, key in keys.items()},
+            params={p: r[key] for p, key in keys.items()},
             albedo=r.get("albedo_accu_coarse"),
             # score the normal the BRDF consumed (normal_lr preferred
             # when present, spsbrdfnerf.py:234-239)
@@ -182,7 +185,11 @@ def main(argv=None):
     from synth_aoi import build_aoi, RPV_GT, HAPKE_GT
 
     gt = RPV_GT if a.family == "rpv" else HAPKE_GT
-    fam = FAMILIES[a.family]
+    fam = dict(FAMILIES[a.family])
+    if a.family == "hapke":
+        # generator and trained model must agree on the BRF normalizer
+        from synth_aoi import HAPKE_HPK_SCL
+        fam["flags"] = fam["flags"] + ["--hpk_scl", str(HAPKE_HPK_SCL)]
     print(f"== building BRDF-shaded AOI ({a.family} gt {gt}) ==",
           flush=True)
     aoi = build_aoi(os.path.join(a.workdir, "aoi"), n_train=a.n_train,
