@@ -132,6 +132,26 @@ HAPKE_HPK_SCL = 1.0   # generator + trained model must agree on the BRF
 # max ~0.12 (30 gray levels), so the Hapke study uses --hpk_scl 1
 
 
+# ground-truth Microfacet roughness for the GGX-shaded AOI variant;
+# mid-range of the sigmoid head.  The glossy lobe carries the fixed 0.04
+# factor the reference hardcodes (microfacet.py:56), so roughness is
+# mainly observable near the specular geometry — pair with hotspot_view
+MICROFACET_GT = dict(rough=0.45)
+
+
+def microfacet_radiance(albedo, view_up, sun_up, normal, rough):
+    """Ground-truth Microfacet (GGX) radiance:
+    I = |sun_z| * (albedo + 0.04 * D / (4 l.n v.n)),
+    through brdfnerf_tpu.brdf.microfacet.microfacet_brdf."""
+    from brdfnerf_tpu.brdf.microfacet import microfacet_brdf
+
+    def fn(sun, view, nrm, alb):
+        r = np.full((alb.shape[0], 1), rough, np.float32)
+        return microfacet_brdf(sun, view, nrm, alb, r)[1]
+
+    return _shaded_radiance(fn, albedo, view_up, sun_up, normal)
+
+
 def hapke_radiance(albedo, view_up, sun_up, normal, b, c, theta,
                    hpk_scl: float = HAPKE_HPK_SCL):
     """Ground-truth Hapke radiance:
@@ -310,10 +330,13 @@ def _build_aoi(root: str, n_train: int, n_test: int, depth_subdir: str,
                 sun_az = float(np.degrees(np.arctan2(v0[0], v0[1]))) % 360.0
             sun = np.broadcast_to(sun_direction(sun_el, sun_az), vup.shape)
             # family dispatch by parameter names: RPV {k, theta, rhoc},
-            # Hapke {b, c, theta}
+            # Hapke {b, c, theta}, Microfacet {rough}
             if "k" in brdf:
                 rad = rpv_radiance(ALB_SCALE * tex, vup, sun, nrm,
                                    brdf["k"], brdf["theta"], brdf["rhoc"])
+            elif "rough" in brdf:
+                rad = microfacet_radiance(ALB_SCALE * tex, vup, sun, nrm,
+                                          brdf["rough"])
             else:
                 rad = hapke_radiance(ALB_SCALE * tex, vup, sun, nrm,
                                      brdf["b"], brdf["c"], brdf["theta"])

@@ -45,6 +45,9 @@ FAMILIES = {
         keys={"b": "hpk_b_coarse", "c": "hpk_c_coarse",
               "theta": "hpk_theta_coarse"},
         flags=["--b", "--c", "--theta"]),
+    "microfacet": dict(
+        keys={"rough": "roughness_coarse"},
+        flags=["--roughness"]),
 }
 
 
@@ -177,14 +180,17 @@ def main(argv=None):
                          "prefers, spsbrdfnerf.py:234-239)")
     ap.add_argument("--family", default="rpv", choices=sorted(FAMILIES),
                     help="BRDF family to shade the imagery with and "
-                         "invert: rpv (k/theta/rhoc) or hapke "
-                         "(b/c/theta, full BRF shell 0)")
+                         "invert: rpv (k/theta/rhoc), hapke (b/c/theta, "
+                         "full BRF shell 0) or microfacet (rough — pair "
+                         "with --hotspot_view: the 0.04-factor glossy "
+                         "lobe is only strong near specular geometry)")
     a = ap.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
-    from synth_aoi import build_aoi, RPV_GT, HAPKE_GT
+    from synth_aoi import build_aoi, RPV_GT, HAPKE_GT, MICROFACET_GT
 
-    gt = RPV_GT if a.family == "rpv" else HAPKE_GT
+    gt = {"rpv": RPV_GT, "hapke": HAPKE_GT,
+          "microfacet": MICROFACET_GT}[a.family]
     fam = dict(FAMILIES[a.family])
     if a.family == "hapke":
         # generator and trained model must agree on the BRF normalizer

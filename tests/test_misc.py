@@ -61,10 +61,11 @@ def test_synth_aoi_brdf_families(tmp_path):
     {k,theta,rhoc} vs Hapke {b,c,theta}) and both shade through the
     framework's own BRDF kernels into sane uint8 dynamic range."""
     from brdfnerf_tpu.data.synth_aoi import (build_aoi, RPV_GT, HAPKE_GT,
-                                             hapke_radiance)
+                                             MICROFACET_GT, hapke_radiance)
     from brdfnerf_tpu.utils.geotiff import read_geotiff
     import os
-    for name, gt in [("rpv", RPV_GT), ("hapke", HAPKE_GT)]:
+    for name, gt in [("rpv", RPV_GT), ("hapke", HAPKE_GT),
+                     ("microfacet", MICROFACET_GT)]:
         aoi = build_aoi(str(tmp_path / name), n_train=2, n_test=1,
                         bumpy=True, size=16, brdf=gt)
         for i in range(3):
