@@ -115,6 +115,13 @@ def main():
     loop_chunked = measure_loop(mcfg, rcfg, tcfg, scan_chunk=16)
     # carry[0] = live post-scan params (state.params was donated away)
     serve = measure_serve(mcfg, rcfg, carry[0])
+    # serving-accel variant: one analytic normal per ray at the expected
+    # surface (documented fidelity trade-off, BASELINE.md); skippable
+    # when bench wall time matters
+    serve_surf = None
+    if not os.environ.get("BENCH_NO_SURF_SERVE"):
+        serve_surf = measure_serve(
+            mcfg, dc.replace(rcfg, normal_at_surface=True), carry[0])
 
     print(json.dumps({
         **out,
@@ -133,6 +140,10 @@ def main():
         # end-to-end serving: a 524k-ray image rendered as ONE scan
         # dispatch (Trainer.render_image's default path), full fetch
         "serve_rays_per_sec": round(serve, 1),
+        # + the normal_at_surface serving accel (one analytic normal per
+        # ray; fidelity trade-off documented in BASELINE.md)
+        **({"serve_surf_rays_per_sec": round(serve_surf, 1)}
+           if serve_surf else {}),
     }))
 
 
