@@ -153,6 +153,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0,
                     help="training seed for both stages (init + ray "
                          "sampling); the AOI itself is deterministic")
+    # model/batch scale knobs (defaults = the flagship 8x512 workload;
+    # small values make a CPU smoke of the whole pipeline feasible)
+    ap.add_argument("--fc_feat", type=int, default=512)
+    ap.add_argument("--fc_layers", type=int, default=8)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--n_samples", type=int, default=64)
+    ap.add_argument("--guided_samples", type=int, default=64)
     ap.add_argument("--n_train", type=int, default=3,
                     help="<= 3 = the reference's blessed fixed 4-entry "
                          "view/sun tables (per-point inversion "
@@ -206,9 +213,11 @@ def main(argv=None):
     common = ["--root_dir", aoi["root"], "--logs_dir", logs,
               "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
               "--aoi_id", aoi["aoi_id"], "--mapping",
-              "--fc_feat", "512", "--fc_layers", "8",
-              "--batch_size", "1024", "--n_samples", "64",
-              "--guided_samples", "64", "--ds_lambda", "10",
+              "--fc_feat", str(a.fc_feat), "--fc_layers", str(a.fc_layers),
+              "--batch_size", str(a.batch_size),
+              "--n_samples", str(a.n_samples),
+              "--guided_samples", str(a.guided_samples),
+              "--ds_lambda", "10",
               "--eval_every_n_epochs", "2",
               "--save_ckpt_every_n_epochs", "2",
               "--seed", str(a.seed)]
