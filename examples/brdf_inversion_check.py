@@ -1,24 +1,34 @@
-"""BRDF ground-truth inversion experiment: train the two-stage flagship
-workload on synthetic imagery rendered with KNOWN non-trivial RPV
-parameters and measure how well stage-2 recovers them.
+"""BRDF ground-truth inversion study: train the two-stage workload on
+synthetic imagery shaded with KNOWN BRDF parameters and measure how
+well stage-2 recovers them — for all three published families
+(--family rpv / hapke / microfacet).
 
 The full-scale run (BASELINE.md) proves the inversion recovers the
-Lambertian LIMIT (k ~ 1, theta ~ 0) from Lambertian imagery; this
-experiment is the stronger converse the reference itself cannot do with
-real imagery (no ground truth exists for a real surface's BRDF): the
-bumpy synthetic AOI is shaded with I = |sun_z| * albedo * RPV(view, sun,
-normal; k*, theta*, rhoc*) per pixel (brdfnerf_tpu/data/synth_aoi.py rpv_radiance,
-k*=0.75 theta*=-0.20 rhoc*=0.55), four views at 0-20 deg off-nadir with
-sun spread over azimuth AND elevation, and the recovered per-pixel
-rpv_k / rpv_theta / rpv_rhoc / albedo / normal maps are compared against
-the generator's ground truth.
+Lambertian LIMIT (k ~ 1, theta ~ 0) from Lambertian imagery; this study
+is the stronger converse the reference itself cannot do with real
+imagery (no ground truth exists for a real surface's BRDF): the bumpy
+synthetic AOI is shaded with I = |sun_z| * BRDF(view, sun, normal;
+params*) per pixel through the framework's own BRDF kernels
+(brdfnerf_tpu/data/synth_aoi.py {rpv,hapke,microfacet}_radiance), and
+the recovered per-pixel parameter / albedo / normal maps are compared
+against the generator's ground truth.
+
+Knobs that decide identifiability (measured, BASELINE.md study table):
+--n_train >= 6 (golden-angle view/sun spiral: per-point inversion
+overdetermined), --normal learned --nr_spv_lambda 1.0 (the BRDF
+consumes the supervised grad_from_xyz head instead of sigma-gradient
+noise), --hotspot_view (one sun-aligned view so hotspot/specular
+parameters — RPV rhoc, Microfacet roughness — become observable).
+The defaults reproduce the reference's blessed-but-under-determined
+3-view configuration (the recorded negative result).
 
     python examples/brdf_inversion_check.py [workdir] [--size 512]
-        [--steps1 10000] [--steps2 10000]
+        [--steps1 10000] [--steps2 10000] [--family rpv]
+        [--n_train 8 --normal learned --nr_spv_lambda 1.0 --hotspot_view]
 
 Reference workload semantics: README.md:97-133 (stage-1 Lambertian
-pretrain -> stage-2 RPV-111 finetune with checkpoint handoff,
---normal analystic --brdf_on 0 --cos_irra_on 0, lr 2.152e-4).
+pretrain -> stage-2 BRDF finetune with checkpoint handoff,
+--brdf_on 0 --cos_irra_on 0, lr 2.152e-4).
 """
 
 import argparse
