@@ -114,13 +114,13 @@ def main():
     loop_rays_per_sec = measure_loop(mcfg, rcfg, tcfg)
     loop_chunked = measure_loop(mcfg, rcfg, tcfg, scan_chunk=16)
     # carry[0] = live post-scan params (state.params was donated away)
-    serve = measure_serve(mcfg, rcfg, carry[0])
+    serve, _ = measure_serve(mcfg, rcfg, carry[0])
     # serving-accel variant: one analytic normal per ray at the expected
     # surface (documented fidelity trade-off, BASELINE.md); skippable
     # when bench wall time matters
     serve_surf = None
     if not os.environ.get("BENCH_NO_SURF_SERVE"):
-        serve_surf = measure_serve(
+        serve_surf, _ = measure_serve(
             mcfg, dc.replace(rcfg, normal_at_surface=True), carry[0])
 
     print(json.dumps({
@@ -147,30 +147,33 @@ def main():
     }))
 
 
-def measure_serve(mcfg, rcfg, params) -> float:
+def measure_serve(mcfg, rcfg, params,
+                  fetch=("rgb_coarse", "depth_coarse"),
+                  n_chunks: int = 32, chunk: int = 16384):
     """Forward-only serving throughput via the one-dispatch scan render
-    (make_scan_render_step): 32 chunks x 16384 rays rendered in one
-    jitted program, rgb+depth fetched — the end-to-end image-render rate
-    a serving host sees."""
+    (make_scan_render_step): n_chunks x chunk rays rendered in one
+    jitted program, every `fetch` key fully fetched — the end-to-end
+    image-render rate a serving host sees.  The ONE blessed serving
+    methodology: examples/int8_serving_check.py reuses this function.
+
+    Returns (rays_per_sec, fetched) where fetched maps each fetch key
+    to its np array from the last timed run."""
     from brdfnerf_tpu.parallel.train_step import make_scan_render_step
-    n_chunks, chunk = 32, 16384
-    fn = make_scan_render_step(mcfg, rcfg,
-                               ("rgb_coarse", "depth_coarse"), {})
+    fn = make_scan_render_step(mcfg, rcfg, tuple(fetch), {})
     batch = _loop_store(n_chunks * chunk)
     rays_mat = jnp.asarray(np.asarray(batch["rays"], np.float32)
                            .reshape(n_chunks, chunk, -1))
     ts_mat = jnp.zeros((n_chunks, chunk), jnp.int32)
     key = jax.random.PRNGKey(0)
     outs = fn(params, rays_mat, ts_mat, jnp.asarray(False), key)
-    _ = np.asarray(outs["rgb_coarse"])      # compile + warm, full fetch
+    fetched = {k: np.asarray(outs[k]) for k in fetch}   # compile + warm
     times = []
     for _i in range(3):
         t0 = time.perf_counter()
         outs = fn(params, rays_mat, ts_mat, jnp.asarray(False), key)
-        _ = (np.asarray(outs["rgb_coarse"]),
-             np.asarray(outs["depth_coarse"]))
+        fetched = {k: np.asarray(outs[k]) for k in fetch}
         times.append(time.perf_counter() - t0)
-    return (n_chunks * chunk) / min(times)
+    return (n_chunks * chunk) / min(times), fetched
 
 
 def measure_loop(mcfg, rcfg, tcfg, scan_chunk: int = 1) -> float:

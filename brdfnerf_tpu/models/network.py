@@ -226,8 +226,11 @@ def _trunk_features(params, cfg: ModelConfig, xyz):
     # int8 (serving): every trunk matmul input — the sine encoding and
     # every siren hidden activation — is statically bounded in [-1, 1],
     # so the whole trunk runs through the int8 MXU path.  Raw-xyz trunks
-    # (mapping off) are unbounded: they stay on the bf16 path.
-    int8 = cfg.compute_dtype == "int8" and cfg.mapping and cfg.siren
+    # (mapping off, or mapping with 0 frequencies where the encoding
+    # passes xyz through verbatim) are unbounded: they stay on the bf16
+    # path rather than silently clipping out-of-range coordinates.
+    int8 = (cfg.compute_dtype == "int8" and cfg.siren
+            and cfg.mapping and cfg.mapping_sizes[0] > 0)
     lin = _linear_int8 if int8 else (
         lambda p, x: _linear(p, x, cfg.compute_dtype))
     h = enc

@@ -88,6 +88,13 @@ def load_renderer(run_dir: str, epoch_number: int,
     args = opts_mod.load_opts(run_dir)
     cfg = opts_mod.to_run_config(args)
     if compute_dtype:
+        allowed = ("float32", "bfloat16", "bfloat16_all", "int8")
+        if compute_dtype not in allowed:
+            # _linear's dtype ladder silently falls through to f32 for
+            # unknown strings — reject here so a typo ('bf16', 'fp8')
+            # can't masquerade as a quantized-serving A/B
+            raise ValueError(f"compute_dtype={compute_dtype!r} not in "
+                             f"{allowed}")
         cfg = dc.replace(cfg, model=dc.replace(
             cfg.model, compute_dtype=compute_dtype))
     if normal_at_surface is not None:

@@ -232,12 +232,41 @@ def test_eval_cli_int8_override(spsnerf_run, tmp_path):
     # int8 perturbs sampled z positions too, so allow ~1 dB
     assert abs(q["psnr"] - base["psnr"]) < 1.5, (q["psnr"], base["psnr"])
     assert abs(q["ssim"] - base["ssim"]) < 0.05
-    # serving accel override (one normal per ray at the surface): runs
-    # end-to-end and scores in the same ballpark
-    srf = evaluate(run_dir, last, output_dir=str(tmp_path / "surf"),
+
+
+def test_eval_normal_at_surface_override(aoi, tmp_path):
+    """--normal_at_surface through the eval CLI must actually reach the
+    render: it only changes the ANALYTIC-normal path, so the test trains
+    a spsbrdf model with --normal analystic (sps-nerf would make the
+    override a silent no-op) and asserts the two renders differ while
+    scoring in the same ballpark."""
+    from brdfnerf_tpu.cli.train import main as train_main
+    from brdfnerf_tpu.cli.eval import evaluate
+    logs, ckpts = str(tmp_path / "l"), str(tmp_path / "c")
+    assert train_main([
+        "--model", "spsbrdf-nerf", "--exp_name", "srf",
+        "--root_dir", aoi["root"], "--logs_dir", logs,
+        "--ckpts_dir", ckpts, "--gt_dir", aoi["gt_dir"],
+        "--aoi_id", aoi["aoi_id"], "--mapping",
+        "--normal", "analystic",
+        "--funcM", "1", "--funcF", "1", "--funcH", "1",
+        "--brdf_on", "0", "--cos_irra_on", "0",
+        "--fc_feat", "64", "--fc_layers", "4",
+        "--n_samples", "8", "--guided_samples", "8",
+        "--batch_size", "256", "--max_train_steps", "40",
+        "--ds_lambda", "10", "--lr", "1e-3",
+        "--eval_every_n_epochs", "1000"]) == 0
+    run_dir = os.path.join(logs, "srf")
+    last = _last_epoch(os.path.join(ckpts, "srf"))
+    base = evaluate(run_dir, last, output_dir=str(tmp_path / "b"))
+    srf = evaluate(run_dir, last, output_dir=str(tmp_path / "s"),
                    normal_at_surface=True)
     assert np.isfinite(srf["psnr"])
-    assert abs(srf["psnr"] - base["psnr"]) < 3.0, (srf["psnr"],
+    # the override reached the render (per-sample vs surface normals
+    # genuinely differ on an analytic-normal BRDF model)...
+    assert srf["psnr"] != base["psnr"], srf["psnr"]
+    # ...but stays in the same ballpark (appearance trade-off only)
+    assert abs(srf["psnr"] - base["psnr"]) < 6.0, (srf["psnr"],
                                                    base["psnr"])
 
 
