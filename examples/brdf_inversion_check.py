@@ -201,6 +201,14 @@ def main(argv=None):
                          "full BRF shell 0) or microfacet (rough — pair "
                          "with --hotspot_view: the 0.04-factor glossy "
                          "lobe is only strong near specular geometry)")
+    ap.add_argument("--fit_family", default=None, choices=sorted(FAMILIES),
+                    help="BRDF family the MODEL fits (default: same as "
+                         "--family). Different = a model-mismatch "
+                         "robustness experiment: real surfaces are never "
+                         "exactly the assumed BRDF; parameter scoring "
+                         "then reports the fitted family's maps against "
+                         "the OTHER family's truth only for albedo and "
+                         "normals (the parameter tables are skipped)")
     a = ap.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -208,8 +216,9 @@ def main(argv=None):
 
     gt = {"rpv": RPV_GT, "hapke": HAPKE_GT,
           "microfacet": MICROFACET_GT}[a.family]
-    fam = dict(FAMILIES[a.family])
-    if a.family == "hapke":
+    fit_family = a.fit_family or a.family
+    fam = dict(FAMILIES[fit_family])
+    if fit_family == "hapke":
         # generator and trained model must agree on the BRF normalizer
         from synth_aoi import HAPKE_HPK_SCL
         fam["flags"] = fam["flags"] + ["--hpk_scl", str(HAPKE_HPK_SCL)]
@@ -254,9 +263,12 @@ def main(argv=None):
     last = int(os.path.basename(last_epoch_ckpt(ck2))[len("epoch="):-4])
     print(f"== reading recovered parameter maps (epoch {last}) ==",
           flush=True)
-    maps = recovered_maps(run2, ck2, last, family=a.family)
-    result = score(maps, aoi["root"], gt)
-    train_sc = score(maps, aoi["root"], gt, val_only=False)
+    maps = recovered_maps(run2, ck2, last, family=fit_family)
+    # model-mismatch runs can only score albedo/normals against truth —
+    # the fitted family's parameters have no ground-truth counterpart
+    score_gt = gt if fit_family == a.family else {}
+    result = score(maps, aoi["root"], score_gt)
+    train_sc = score(maps, aoi["root"], score_gt, val_only=False)
     result["train_view"] = {"per_image": train_sc["per_image"],
                             "summary": train_sc["summary"]}
     result["stage2_curve_tail"] = res2["curve"][-3:]
@@ -265,7 +277,8 @@ def main(argv=None):
                         "nr_spv_lambda": a.nr_spv_lambda,
                         "normal": a.normal,
                         "hotspot_view": bool(a.hotspot_view),
-                        "seed": a.seed, "family": a.family}
+                        "seed": a.seed, "family": a.family,
+                        "fit_family": fit_family}
     out = os.path.join(a.workdir, "inversion_result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
