@@ -538,12 +538,52 @@ class SatelliteDataset:
             if cache_p:
                 np.savez(cache_p, rays=rays)
         if self.utm_zone is None and cfg.cs == "utm":
+            # under the thread-pooled loader images race here; the zone is
+            # a scene-wide property (same for every view of the AOI), so a
+            # benign last-writer-wins assignment of an identical value
             lon, lat = rpc_mod.localization_np(
                 rpc, np.asarray([cols[0]]), np.asarray([rows[0]]),
                 float(meta["min_alt"]))
             self.utm_zone = utm_zone_from_latlon(float(lat[0]), float(lon[0]))
         rays = self.scene.normalize_rays(rays).astype(np.float32)
         return rays, h, w, cols, rows
+
+    def _depth_arrays_cached(self, meta: dict) -> Dict[str, np.ndarray]:
+        """`build_depth_arrays` behind the per-image cache: the dense-depth
+        supervision re-runs Newton RPC localization over every MicMac
+        point, which dominates warm-start ingestion once the ray cache
+        hits.  The key carries every input that shapes the arrays (incl.
+        the scene normalization and the depth files' mtimes, so an edited
+        triplet or a recomputed scene.loc invalidates)."""
+        cfg = self.cfg
+        if not cfg.cache_dir:
+            return build_depth_arrays(
+                meta, self.depth_dir, self.scene, cfg.img_downscale,
+                cfg.cs, cfg.corrscale, cfg.stdscale, cfg.margin,
+                cfg.std_quirk)
+        import hashlib
+        img_id = file_id(meta["img"])
+        suffix = "_3DPts_ecef.txt" if cfg.cs == "ecef" else "_3DPts.txt"
+        mtimes = [
+            os.path.getmtime(os.path.join(self.depth_dir, img_id + s))
+            for s in ("_2DPts.txt", suffix, "_Correl.txt")]
+        key = hashlib.sha256(repr((
+            cfg.img_downscale, cfg.cs, cfg.corrscale, cfg.stdscale,
+            cfg.margin, cfg.std_quirk, sorted(self.scene.to_dict().items()),
+            float(meta["min_alt"]), float(meta["max_alt"]), mtimes,
+            sorted((k, repr(v)) for k, v in meta["rpc"].items()),
+        )).encode()).hexdigest()[:16]
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        cache_p = os.path.join(cfg.cache_dir, f"{img_id}_depth_{key}.npz")
+        if os.path.exists(cache_p):
+            with np.load(cache_p) as z:
+                return {k: z[k] for k in z.files}
+        arrays = build_depth_arrays(
+            meta, self.depth_dir, self.scene, cfg.img_downscale,
+            cfg.cs, cfg.corrscale, cfg.stdscale, cfg.margin,
+            cfg.std_quirk)
+        np.savez(cache_p, **arrays)
+        return arrays
 
     def _load_one(self, t: int, json_p: str, with_depth: bool,
                   depth_required: bool = False) -> Dict:
@@ -565,10 +605,7 @@ class SatelliteDataset:
         }
         if with_depth:
             try:
-                out.update(build_depth_arrays(
-                    meta, self.depth_dir, self.scene, cfg.img_downscale,
-                    cfg.cs, cfg.corrscale, cfg.stdscale, cfg.margin,
-                    cfg.std_quirk))
+                out.update(self._depth_arrays_cached(meta))
             except (OSError, IOError) as e:
                 # Validation images may legitimately have no MicMac depth
                 # triplet; for TRAINING images a missing triplet would
@@ -583,9 +620,16 @@ class SatelliteDataset:
         return out
 
     def _load_images(self, json_files: List[str]) -> Dict[str, np.ndarray]:
-        parts = [self._load_one(t, p, self.cfg.load_depth,
-                                depth_required=self.cfg.load_depth)
-                 for t, p in enumerate(json_files)]
+        # per-image ingestion is independent and NumPy/BLAS-bound (Newton
+        # RPC localization, GEMM poly evaluation, file parsing — all GIL-
+        # releasing), so images load concurrently; results keep list order
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(len(json_files), os.cpu_count() or 4)) as ex:
+            parts = list(ex.map(
+                lambda tp: self._load_one(tp[0], tp[1], self.cfg.load_depth,
+                                          depth_required=self.cfg.load_depth),
+                enumerate(json_files)))
         keys = ["rays", "rgbs", "ts", "rows", "cols"]
         if self.cfg.load_depth and all("depths" in p for p in parts):
             keys += ["depths", "valid_depth", "depth_std", "normals",

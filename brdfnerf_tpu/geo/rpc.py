@@ -119,6 +119,60 @@ def _poly20_np(c, x, y, z):
             + c[19] * z * z * z)
 
 
+def _monomials20_np(x, y, z):
+    """(P, 20) float64 monomial design matrix in _poly20's term order.
+
+    The host hot paths (`localization_np`, `projection_np`) evaluate the
+    four rational polynomials of an RPC as ONE (P,20)@(20,4) GEMM over
+    this matrix instead of ~40 elementwise numpy temporaries per poly —
+    the ingestion profile is memory-traffic-bound, and BLAS turns it into
+    a single multithreaded pass (measured ~5x on the Newton loop)."""
+    import numpy as np
+    x = np.ascontiguousarray(x, np.float64).ravel()
+    y = np.ascontiguousarray(y, np.float64).ravel()
+    z = np.ascontiguousarray(z, np.float64).ravel()
+    # stored transposed — (20, P) with CONTIGUOUS rows — because strided
+    # writes into the columns of a (P, 20) array are ~3x slower at image
+    # scale; BLAS consumes the .T view natively (op(A) in dgemm)
+    m = np.empty((20, x.shape[0]), np.float64)
+    m[0] = 1.0
+    m[1] = y
+    m[2] = x
+    m[3] = z
+    np.multiply(y, x, out=m[4])
+    np.multiply(y, z, out=m[5])
+    np.multiply(x, z, out=m[6])
+    np.multiply(y, y, out=m[7])
+    np.multiply(x, x, out=m[8])
+    np.multiply(z, z, out=m[9])
+    np.multiply(m[4], z, out=m[10])   # xyz
+    np.multiply(m[7], y, out=m[11])   # y^3
+    np.multiply(m[8], y, out=m[12])   # y x^2
+    np.multiply(m[9], y, out=m[13])   # y z^2
+    np.multiply(m[7], x, out=m[14])   # y^2 x
+    np.multiply(m[8], x, out=m[15])   # x^3
+    np.multiply(m[9], x, out=m[16])   # x z^2
+    np.multiply(m[7], z, out=m[17])   # y^2 z
+    np.multiply(m[8], z, out=m[18])   # x^2 z
+    np.multiply(m[9], z, out=m[19])   # z^3
+    return m.T
+
+
+def _deriv_coeff_np(c):
+    """(10, 2) coefficient matrix giving [d/dx, d/dy] of a 20-term RPC00B
+    cubic over the quadratic monomial basis — the FIRST TEN columns of
+    `_monomials20_np` ([1, y, x, z, xy, yz, xz, y², x², z²]).  The same
+    design-matrix prefix therefore evaluates every Jacobian entry of the
+    Newton solve by GEMM (matches `_poly20_np_dx` / `_poly20_np_dy`)."""
+    import numpy as np
+    c = np.asarray(c, np.float64)
+    dx = np.array([c[2], c[4], 2 * c[8], c[6], 2 * c[12], c[10],
+                   2 * c[18], c[14], 3 * c[15], c[16]], np.float64)
+    dy = np.array([c[1], 2 * c[7], c[4], c[5], 2 * c[14], 2 * c[17],
+                   c[10], 3 * c[11], c[12], c[13]], np.float64)
+    return np.stack([dx, dy], axis=-1)
+
+
 def _poly20_np_dx(c, x, y, z):
     """d/dx (x = nlat) of the RPC00B cubic."""
     import numpy as np
@@ -144,13 +198,20 @@ def projection_np(rpc: RPCModel, lon, lat, alt):
     lon = np.asarray(lon, np.float64)
     lat = np.asarray(lat, np.float64)
     alt = np.asarray(alt, np.float64)
-    nlon = (lon - float(rpc.lon_offset)) / float(rpc.lon_scale)
-    nlat = (lat - float(rpc.lat_offset)) / float(rpc.lat_scale)
-    nalt = (alt - float(rpc.alt_offset)) / float(rpc.alt_scale)
-    ncol = (_poly20_np(rpc.col_num, nlat, nlon, nalt)
-            / _poly20_np(rpc.col_den, nlat, nlon, nalt))
-    nrow = (_poly20_np(rpc.row_num, nlat, nlon, nalt)
-            / _poly20_np(rpc.row_den, nlat, nlon, nalt))
+    shape = np.broadcast_shapes(lon.shape, lat.shape, alt.shape)
+    nlon = np.broadcast_to(
+        (lon - float(rpc.lon_offset)) / float(rpc.lon_scale), shape)
+    nlat = np.broadcast_to(
+        (lat - float(rpc.lat_offset)) / float(rpc.lat_scale), shape)
+    nalt = np.broadcast_to(
+        (alt - float(rpc.alt_offset)) / float(rpc.alt_scale), shape)
+    coeff = np.stack([np.asarray(rpc.col_num, np.float64),
+                      np.asarray(rpc.col_den, np.float64),
+                      np.asarray(rpc.row_num, np.float64),
+                      np.asarray(rpc.row_den, np.float64)], axis=-1)
+    vals = _monomials20_np(nlat, nlon, nalt) @ coeff   # (P, 4)
+    ncol = (vals[:, 0] / vals[:, 1]).reshape(shape)
+    nrow = (vals[:, 2] / vals[:, 3]).reshape(shape)
     return (ncol * float(rpc.col_scale) + float(rpc.col_offset),
             nrow * float(rpc.row_scale) + float(rpc.row_offset))
 
@@ -176,25 +237,29 @@ def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
     cd = np.asarray(rpc.col_den, np.float64)
     rn = np.asarray(rpc.row_num, np.float64)
     rd = np.asarray(rpc.row_den, np.float64)
+    # (20, 4) value + (10, 8) Jacobian coefficient matrices: each Newton
+    # iteration is then two GEMMs over one monomial design matrix instead
+    # of ~180 elementwise numpy temporaries (memory-bound at image scale)
+    coeff = np.stack([cn, cd, rn, rd], axis=-1)
+    dcoeff = np.concatenate([_deriv_coeff_np(c) for c in (cn, cd, rn, rd)],
+                            axis=-1)   # columns: [cx cy] per poly
 
+    shape = tc.shape
+    tc, tr, z = tc.ravel(), tr.ravel(), z.ravel()
     x = np.zeros_like(tc)   # nlat
     y = np.zeros_like(tc)   # nlon
     for _ in range(iters):
-        ncn = _poly20_np(cn, x, y, z)
-        ncd = _poly20_np(cd, x, y, z)
-        nrn = _poly20_np(rn, x, y, z)
-        nrd = _poly20_np(rd, x, y, z)
+        m = _monomials20_np(x, y, z)
+        vals = m @ coeff                      # (P, 4): ncn ncd nrn nrd
+        ncn, ncd, nrn, nrd = vals.T
+        dv = m[:, :10] @ dcoeff               # (P, 8): d{cn,cd,rn,rd}/dx,dy
         fc = ncn / ncd - tc
         fr = nrn / nrd - tr
         # quotient-rule Jacobian entries
-        j_cx = (_poly20_np_dx(cn, x, y, z) * ncd
-                - ncn * _poly20_np_dx(cd, x, y, z)) / (ncd * ncd)
-        j_cy = (_poly20_np_dy(cn, x, y, z) * ncd
-                - ncn * _poly20_np_dy(cd, x, y, z)) / (ncd * ncd)
-        j_rx = (_poly20_np_dx(rn, x, y, z) * nrd
-                - nrn * _poly20_np_dx(rd, x, y, z)) / (nrd * nrd)
-        j_ry = (_poly20_np_dy(rn, x, y, z) * nrd
-                - nrn * _poly20_np_dy(rd, x, y, z)) / (nrd * nrd)
+        j_cx = (dv[:, 0] * ncd - ncn * dv[:, 2]) / (ncd * ncd)
+        j_cy = (dv[:, 1] * ncd - ncn * dv[:, 3]) / (ncd * ncd)
+        j_rx = (dv[:, 4] * nrd - nrn * dv[:, 6]) / (nrd * nrd)
+        j_ry = (dv[:, 5] * nrd - nrn * dv[:, 7]) / (nrd * nrd)
         det = j_cy * j_rx - j_cx * j_ry
         det = np.where(np.abs(det) < 1e-30, 1e-30, det)
         dy = (fc * j_rx - fr * j_cx) / det   # nlon update
@@ -203,6 +268,7 @@ def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
         x = x - dx
         if max(np.max(np.abs(dy)), np.max(np.abs(dx))) < tol:
             break
+    x, y = x.reshape(shape), y.reshape(shape)
     lon = y * float(rpc.lon_scale) + float(rpc.lon_offset)
     lat = x * float(rpc.lat_scale) + float(rpc.lat_offset)
     return lon, lat
