@@ -144,7 +144,42 @@ def main():
         # ray; fidelity trade-off documented in BASELINE.md)
         **({"serve_surf_rays_per_sec": round(serve_surf, 1)}
            if serve_surf else {}),
+        # data-pipeline startup (host-side, BASELINE.md "Data-pipeline
+        # startup"): full satellite ingestion — f64 Newton RPC
+        # localization for every pixel, scene-loc, dense depth/std/normal
+        # arrays — on a small synthetic AOI, cold (no caches) and warm
+        # (ray + depth caches hit)
+        **({} if os.environ.get("BENCH_NO_INGEST") else
+           dict(zip(("ingest_cold_rays_per_sec", "ingest_warm_rays_per_sec"),
+                    measure_ingest()))),
     }))
+
+
+def measure_ingest(size: int = 256, n_train: int = 3):
+    """Cold/warm dataset-ingestion throughput (rays/s) on a synthetic AOI
+    built in a temp dir — the host-side startup cost a production trainer
+    pays before the first step (the reference pays its rpcm-per-pixel
+    ingestion every run: its ray-cache read is disabled by an `if 0:`,
+    satellite_rgb_dep.py:347)."""
+    import shutil
+    import tempfile
+    from brdfnerf_tpu.data.synth_aoi import build_aoi
+    from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        build_aoi(tmp, n_train=n_train, n_test=1, bumpy=True, size=size)
+        cfg = SatelliteConfig(root_dir=tmp, aoi_id="Synth_001",
+                              cache_dir=f"{tmp}/cache", load_depth=True)
+        rates = []
+        for _ in range(2):                       # cold, then warm
+            t0 = time.perf_counter()
+            ds = SatelliteDataset(cfg, "train")
+            dt = time.perf_counter() - t0
+            rates.append(round(ds.store["rays"].shape[0] / dt, 1))
+        return rates
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_serve(mcfg, rcfg, params,

@@ -320,3 +320,39 @@ def test_rpc00b_rescale_parity(pleiades_rpc):
     c1, r1 = rpc_mod.projection_np(r2, lon, lat, alt)
     np.testing.assert_allclose(c1, alpha * c0, rtol=1e-12)
     np.testing.assert_allclose(r1, alpha * r0, rtol=1e-12)
+
+
+def test_utm_series_recurrence_matches_direct():
+    """utm_from_latlon/latlon_from_utm evaluate the Karney-Krueger series
+    via an angle-addition recurrence (4 transcendental passes instead of
+    24); the recurrence must match the direct sin(2j xi)cosh(2j eta)
+    evaluation to float64 ulp level across the UTM domain."""
+    import numpy as np
+    from brdfnerf_tpu.geo import geodesy as g
+
+    rng = np.random.RandomState(0)
+    lats = rng.uniform(-79, 83, 512)
+    lons = rng.uniform(-2.8, 2.8, 512)  # about a zone's central meridian
+    zone = 31
+    e, n = g.utm_from_latlon(lats, lons + 3.0, zone=zone)
+
+    # direct-form oracle (the pre-recurrence implementation)
+    lon0 = np.radians(zone * 6.0 - 183.0)
+    phi = np.deg2rad(lats)
+    lam = np.deg2rad(lons + 3.0) - lon0
+    t = np.sinh(np.arctanh(np.sin(phi)) - g._E * np.arctanh(g._E * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(g._ALPHA, start=1):
+        xi = xi + a * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
+        eta = eta + a * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
+    e_ref = g._K0 * g._A_CAP * eta + 500000.0
+    n_ref = g._K0 * g._A_CAP * xi
+    np.testing.assert_allclose(e, e_ref, atol=1e-6)   # 1 micrometre
+    np.testing.assert_allclose(n, n_ref, atol=1e-6)
+
+    # inverse round-trips through the recurrence to the same points
+    la, lo = g.latlon_from_utm(e, n, zone, northern=True)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
+    np.testing.assert_allclose(lo, lons + 3.0, atol=1e-9)
