@@ -16,6 +16,45 @@ from typing import Tuple
 import numpy as np
 
 
+_NATIVE_MIN_PIXELS = 16384  # below this the NumPy loop is instant anyway
+
+
+def _native_kernels(n_pixels: int):
+    """The native (C++) kernel module when usable, else None (mirrors
+    geo/rpc._native_kernels; any import/build failure -> NumPy path)."""
+    if n_pixels < _NATIVE_MIN_PIXELS:
+        return None
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def _anchors(u: np.ndarray, v: np.ndarray):
+    """Scalar offsets subtracted before the native sum-of-squares pass:
+    DSM altitudes run ~1e3 m, and sigma^2 = E[z^2] - E[z]^2 on raw values
+    would cancel ~7 digits; centering near the mean keeps the moments
+    well-conditioned.  Strided subsample keeps the cost negligible."""
+    with np.errstate(all="ignore"):
+        ku = float(np.nanmean(u[::4, ::4]))
+        kv = float(np.nanmean(v[::4, ::4]))
+    return (ku if np.isfinite(ku) else 0.0), (kv if np.isfinite(kv) else 0.0)
+
+
+def _stats_from_sums(s, ku: float, kv: float):
+    """(muu, muv, sigu, sigv, xcorr) from one native [cnt, su, sv, suu,
+    svv, suv] row of ANCHORED values; de-anchors the means."""
+    cnt, su, sv, suu, svv, suv = (float(x) for x in s)
+    if cnt == 0.0:
+        return 0.0, 0.0, 0.0, 0.0, 0.0
+    mu, mv = su / cnt, sv / cnt
+    sigu = np.sqrt(max(suu / cnt - mu * mu, 0.0))
+    sigv = np.sqrt(max(svv / cnt - mv * mv, 0.0))
+    xcorr = suv / cnt - mu * mv
+    return mu + ku, mv + kv, float(sigu), float(sigv), float(xcorr)
+
+
 def _overlap(u: np.ndarray, v: np.ndarray, dx: int, dy: int):
     """Aligned views: u[j, i] vs v[j + dy, i + dx] over valid indices."""
     h, w = u.shape
@@ -30,7 +69,12 @@ def _overlap(u: np.ndarray, v: np.ndarray, dx: int, dy: int):
 
 def masked_stats(u: np.ndarray, v: np.ndarray, dx: int = 0, dy: int = 0):
     """(muu, muv, sigu, sigv, xcorr) over jointly-finite pixels
-    (dsmr.mean_std:48-88)."""
+    (dsmr.mean_std:48-88).  Large DSMs run the fused native pass."""
+    nat = _native_kernels(u.size)
+    if nat is not None:
+        ku, kv = _anchors(u, v)
+        sums = nat.ncc_masked_sums(u - ku, v - kv, dx, dy, 0)
+        return _stats_from_sums(sums[0, 0], ku, kv)
     uu, vv = _overlap(u, v, dx, dy)
     if uu is None:
         return 0.0, 0.0, 0.0, 0.0, 0.0
@@ -55,7 +99,26 @@ def ncc(u, v, dx: int = 0, dy: int = 0) -> float:
 
 
 def search_shift(u, v, irange: int = 5, dx: int = 0, dy: int = 0):
-    """argmax NCC over (dx, dy) +/- irange (dsmr.compute_ncc:100-117)."""
+    """argmax NCC over (dx, dy) +/- irange (dsmr.compute_ncc:100-117).
+
+    Large DSMs dispatch to the native kernel: all (2*irange+1)^2 masked
+    sum-sets in one OpenMP pass (brdfnerf_tpu/native), with NCC + argmax
+    computed here in the same scan order / strict-greater tie rule as the
+    NumPy loop below (which stays the source of truth + fallback)."""
+    nat = _native_kernels(u.size)
+    if nat is not None:
+        ku, kv = _anchors(u, v)
+        sums = nat.ncc_masked_sums(u - ku, v - kv, dx, dy, irange)
+        best = (-np.inf, dx, dy)
+        for yi in range(2 * irange + 1):
+            for xi in range(2 * irange + 1):
+                _, _, sigu, sigv, xcorr = _stats_from_sums(
+                    sums[yi, xi], ku, kv)
+                denom = sigu * sigv
+                c = xcorr / denom if denom > 0 else -np.inf
+                if c > best[0]:
+                    best = (c, dx - irange + xi, dy - irange + yi)
+        return best[1], best[2]
     best = (-np.inf, dx, dy)
     for y in range(dy - irange, dy + irange + 1):
         for x in range(dx - irange, dx + irange + 1):

@@ -28,7 +28,7 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(__file__), "rpc_kernels.cpp")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
-_ABI = 1
+_ABI = 2
 
 
 def _cpu_tag() -> str:
@@ -102,6 +102,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         dp, dp, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, dp, ctypes.c_double, dp, dp]
     lib.utm_forward_f64.restype = None
+    lib.ncc_masked_sums_f64.argtypes = [
+        dp, ctypes.c_int64, ctypes.c_int64, dp, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp]
+    lib.ncc_masked_sums_f64.restype = None
     lib.brdfnerf_native_abi_version.argtypes = []
     lib.brdfnerf_native_abi_version.restype = ctypes.c_int
     return lib
@@ -189,6 +193,22 @@ def projection(rpc, lon, lat, alt):
         _dptr(coeffs), _dptr(offs), _dptr(lon.ravel()), _dptr(lat.ravel()),
         _dptr(alt.ravel()), lon.size, _dptr(col.ravel()), _dptr(row.ravel()))
     return col, row
+
+
+def ncc_masked_sums(u: np.ndarray, v: np.ndarray, dx0: int, dy0: int,
+                    irange: int) -> np.ndarray:
+    """(2*irange+1, 2*irange+1, 6) masked sums over the (dy, dx) shift
+    window — native core of geo/registration.search_shift.  Row s // side
+    is dy = dy0 - irange + ..., matching the Python scan order."""
+    lib = load_library()
+    u = np.ascontiguousarray(u, np.float64)
+    v = np.ascontiguousarray(v, np.float64)
+    side = 2 * irange + 1
+    out = np.empty((side, side, 6), np.float64)
+    lib.ncc_masked_sums_f64(
+        _dptr(u), u.shape[0], u.shape[1], _dptr(v), v.shape[0], v.shape[1],
+        int(dx0), int(dy0), int(irange), _dptr(out.ravel()))
+    return out
 
 
 def utm_forward(lats, lons, lon0_rad: float, e: float, k0_a_cap: float,

@@ -201,6 +201,61 @@ void utm_forward_f64(const double* __restrict lat_deg,
   }
 }
 
-int brdfnerf_native_abi_version() { return 1; }
+// NaN-aware masked sums for the DSM-registration NCC search
+// (geo/registration.py — the TPU-native twin of the reference's ONLY
+// numba-native component, dsmr.py:6-135).  For every candidate shift
+// (dx, dy) in the (2*irange+1)^2 window around (dx0, dy0), accumulates
+// over the jointly-finite overlap of u[j, i] and v[j + dy, i + dx]:
+//   out[s * 6 + {0..5}] = {count, sum_u, sum_v, sum_uu, sum_vv, sum_uv}
+// Python computes means/sigmas/NCC and the argmax from these, preserving
+// the reference's scan order and strict-greater tie-breaking.  Shifts fan
+// out over OpenMP threads; each shift is ONE fused pass over the overlap
+// (the NumPy path pays ~6 masked-reduction passes plus two boolean
+// fancy-index copies per shift).
+void ncc_masked_sums_f64(const double* __restrict u, int64_t uh, int64_t uw,
+                         const double* __restrict v, int64_t vh, int64_t vw,
+                         int dx0, int dy0, int irange,
+                         double* __restrict out) {
+  const int side = 2 * irange + 1;
+  const int nshift = side * side;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int s = 0; s < nshift; ++s) {
+    const int dy = dy0 - irange + s / side;
+    const int dx = dx0 - irange + s % side;
+    // overlap bounds (geo/registration._overlap semantics)
+    const int64_t ui0 = dx < 0 ? -dx : 0;
+    const int64_t ui1 = uw < vw - dx ? uw : vw - dx;
+    const int64_t uj0 = dy < 0 ? -dy : 0;
+    const int64_t uj1 = uh < vh - dy ? uh : vh - dy;
+    double cnt = 0.0, su = 0.0, sv = 0.0, suu = 0.0, svv = 0.0, suv = 0.0;
+    if (ui1 > ui0 && uj1 > uj0) {
+      for (int64_t j = uj0; j < uj1; ++j) {
+        const double* __restrict ur = u + j * uw;
+        const double* __restrict vr = v + (j + dy) * vw + dx;
+        for (int64_t i = ui0; i < ui1; ++i) {
+          const double a = ur[i];
+          const double b = vr[i];
+          if (std::isfinite(a) && std::isfinite(b)) {
+            cnt += 1.0;
+            su += a;
+            sv += b;
+            suu += a * a;
+            svv += b * b;
+            suv += a * b;
+          }
+        }
+      }
+    }
+    double* o = out + static_cast<int64_t>(s) * 6;
+    o[0] = cnt;
+    o[1] = su;
+    o[2] = sv;
+    o[3] = suu;
+    o[4] = svv;
+    o[5] = suv;
+  }
+}
+
+int brdfnerf_native_abi_version() { return 2; }
 
 }  // extern "C"

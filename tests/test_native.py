@@ -93,6 +93,60 @@ def test_dispatch_path_is_engaged(rpc):
     np.testing.assert_allclose(lat_big[:256], lat_s, atol=1e-11, rtol=0)
 
 
+def _bumpy_dsm_pair(size=160, nan_frac=0.08, seed=0):
+    rng = np.random.default_rng(seed)
+    a = np.cumsum(rng.standard_normal((size, size)), axis=0) / 8.0 + 900.0
+    b = np.roll(a, (2, -3), (0, 1)) + rng.standard_normal((size, size)) * 0.05
+    a = a.copy()
+    a[rng.random((size, size)) < nan_frac] = np.nan
+    b[rng.random((size, size)) < nan_frac] = np.nan
+    return a, b
+
+
+def test_registration_native_equals_numpy(monkeypatch):
+    """compute_shift through the native NCC kernel == forced-NumPy path:
+    identical integer shift, z-mapping (a, b) to fp-rounding."""
+    from brdfnerf_tpu.geo import registration as reg
+    u, v = _bumpy_dsm_pair()
+    assert reg._native_kernels(u.size) is not None  # dispatch engaged
+    s_nat = reg.compute_shift(u, v)
+    monkeypatch.setattr(reg, "_native_kernels", lambda n: None)
+    s_np = reg.compute_shift(u, v)
+    assert (s_nat[0], s_nat[1]) == (s_np[0], s_np[1])
+    np.testing.assert_allclose(s_nat[2], s_np[2], rtol=1e-10)
+    np.testing.assert_allclose(s_nat[3], s_np[3], atol=1e-8)
+
+
+def test_masked_stats_native_equals_numpy(monkeypatch):
+    from brdfnerf_tpu.geo import registration as reg
+    u, v = _bumpy_dsm_pair(seed=3)
+    got = reg.masked_stats(u, v, dx=2, dy=-1)
+    monkeypatch.setattr(reg, "_native_kernels", lambda n: None)
+    want = reg.masked_stats(u, v, dx=2, dy=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_registration_native_unequal_shapes(monkeypatch):
+    """u and v of different shapes (the gdal-crop path can produce these)
+    agree with the NumPy overlap semantics."""
+    from brdfnerf_tpu.geo import registration as reg
+    u, v = _bumpy_dsm_pair(size=170, seed=5)
+    v = v[:150, :162]
+    got = reg.search_shift(u, v, irange=4)
+    monkeypatch.setattr(reg, "_native_kernels", lambda n: None)
+    want = reg.search_shift(u, v, irange=4)
+    assert got == want
+
+
+def test_registration_all_nan_overlap():
+    """Degenerate all-NaN input returns without dividing by zero."""
+    from brdfnerf_tpu.geo import registration as reg
+    u = np.full((160, 160), np.nan)
+    v = np.full((160, 160), np.nan)
+    stats = reg.masked_stats(u, v)
+    assert stats == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
 @pytest.mark.parametrize("southern", [False, True])
 def test_utm_forward_native_equals_numpy(southern):
     rng = np.random.default_rng(3)
