@@ -127,20 +127,21 @@ def utm_from_latlon(lats, lons, zone: int | None = None,
         zone, _ = utm_zone_from_latlon(float(np.asarray(lats, dtype=np.float64).ravel()[0]),
                                        float(np.asarray(lons, dtype=np.float64).ravel()[0]))
     lon0 = math.radians(zone * 6.0 - 183.0)
-    if lats.size >= 512:
-        # large batches dispatch to the native C++ kernel (identical series
-        # coefficients passed through — one source of truth; equality
-        # tested in tests/test_native.py), NumPy below is the fallback
-        try:
-            from .. import native
-        except Exception:
-            native = None
-        if native is not None and native.available():
-            if southern is None:
-                southern = bool(lats.ravel()[0] < 0.0)
-            return native.utm_forward(
-                lats, lons, lon0, _E, _K0 * _A_CAP, np.asarray(_ALPHA),
-                10000000.0 if southern else 0.0)
+    # large batches dispatch to the native C++ kernel (identical series
+    # coefficients passed through — one source of truth; equality tested
+    # in tests/test_native.py), NumPy below is the fallback
+    try:
+        from .. import native
+        nat = native.usable(int(np.prod(np.broadcast_shapes(
+            lats.shape, lons.shape), dtype=np.int64)))
+    except Exception:
+        nat = None
+    if nat is not None:
+        if southern is None:
+            southern = bool(lats.ravel()[0] < 0.0) if lats.size else False
+        return nat.utm_forward(
+            lats, lons, lon0, _E, _K0 * _A_CAP, np.asarray(_ALPHA),
+            10000000.0 if southern else 0.0)
     phi = np.deg2rad(np.asarray(lats, dtype=np.float64))
     lam = np.deg2rad(lons) - lon0
 

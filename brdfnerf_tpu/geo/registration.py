@@ -20,13 +20,11 @@ _NATIVE_MIN_PIXELS = 16384  # below this the NumPy loop is instant anyway
 
 
 def _native_kernels(n_pixels: int):
-    """The native (C++) kernel module when usable, else None (mirrors
-    geo/rpc._native_kernels; any import/build failure -> NumPy path)."""
-    if n_pixels < _NATIVE_MIN_PIXELS:
-        return None
+    """The native (C++) kernel module when usable, else None — any
+    import/build failure falls back to NumPy silently."""
     try:
         from .. import native
-        return native if native.available() else None
+        return native.usable(n_pixels, min_points=_NATIVE_MIN_PIXELS)
     except Exception:
         return None
 

@@ -191,17 +191,12 @@ def _poly20_np_dy(c, x, y, z):
             + 2.0 * c[14] * y * x + c[17] * 2.0 * y * z)
 
 
-_NATIVE_MIN_POINTS = 512  # below this, ctypes overhead ~ the work itself
-
-
 def _native_kernels(n_points: int):
     """The native (C++) kernel module when usable for an n-point call,
     else None — any import/build failure falls back to NumPy silently."""
-    if n_points < _NATIVE_MIN_POINTS:
-        return None
     try:
         from .. import native
-        return native if native.available() else None
+        return native.usable(n_points)
     except Exception:
         return None
 
@@ -259,7 +254,9 @@ def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
     body below is the source of truth and the fallback.
     """
     import numpy as np
-    nat = _native_kernels(np.size(col))
+    n_bcast = int(np.prod(np.broadcast_shapes(
+        np.shape(col), np.shape(row), np.shape(alt)), dtype=np.int64))
+    nat = _native_kernels(n_bcast)
     if nat is not None:
         lon, lat = nat.localization(rpc, np.atleast_1d(col),
                                     np.atleast_1d(row), alt,

@@ -56,6 +56,19 @@ def _cache_paths():
     yield os.path.join(cache, "brdfnerf_tpu", name)
 
 
+def _prune_stale(current: str) -> None:
+    """Remove superseded rpc_kernels_*.so siblings (old source hash / ABI /
+    CPU tag) so build artifacts don't accumulate across edits."""
+    import glob
+    for p in glob.glob(os.path.join(os.path.dirname(current),
+                                    "rpc_kernels_*.so")):
+        if os.path.abspath(p) != os.path.abspath(current):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def _build(out_path: str) -> bool:
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     # compile to a temp name then atomically rename: concurrent test
@@ -68,8 +81,9 @@ def _build(out_path: str) -> bool:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if r.returncode != 0:
             # -march=native can fail on exotic hosts; retry portable
-            cmd[2] = "-O3"
-            del cmd[3]  # drop -march=native (leaves -fopenmp)
+            # (keeps -fopenmp — the kernels' parallelism does not depend
+            # on the ISA tuning)
+            del cmd[2]
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=120)
         if r.returncode != 0:
@@ -78,6 +92,7 @@ def _build(out_path: str) -> bool:
                       file=sys.stderr)
             return False
         os.replace(tmp, out_path)
+        _prune_stale(out_path)
         return True
     except Exception:
         return False
@@ -138,6 +153,20 @@ def available() -> bool:
     return load_library() is not None
 
 
+DEFAULT_MIN_POINTS = 512  # below this, ctypes overhead ~ the work itself
+
+
+def usable(n_points: int, min_points: int = DEFAULT_MIN_POINTS):
+    """This module when the native library is loadable and the call is big
+    enough to be worth dispatching, else None.  The ONE gate every
+    dispatch site (geo/rpc.py, geo/registration.py, geo/geodesy.py) goes
+    through; callers import this module inside a try so a broken package
+    still degrades to NumPy."""
+    if n_points < min_points:
+        return None
+    return sys.modules[__name__] if available() else None
+
+
 def _dptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -160,12 +189,16 @@ def _pack_rpc(rpc) -> tuple:
 
 def localization(rpc, col, row, alt, iters: int = 20, tol: float = 1e-12):
     """Native twin of geo/rpc.localization_np (same Newton rule); caller
-    guarantees the library is loaded (use `available()`)."""
+    guarantees the library is loaded (use `available()`/`usable()`).
+    col/row/alt broadcast mutually, like the NumPy twin."""
     lib = load_library()
-    col = np.ascontiguousarray(col, np.float64)
-    row = np.ascontiguousarray(row, np.float64)
+    shape = np.broadcast_shapes(np.shape(col), np.shape(row), np.shape(alt))
+    col = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(col, np.float64), shape))
+    row = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(row, np.float64), shape))
     alt = np.ascontiguousarray(np.broadcast_to(
-        np.asarray(alt, np.float64), col.shape))
+        np.asarray(alt, np.float64), shape))
     coeffs, offs = _pack_rpc(rpc)
     lon = np.empty_like(col)
     lat = np.empty_like(col)
@@ -213,11 +246,14 @@ def ncc_masked_sums(u: np.ndarray, v: np.ndarray, dx0: int, dy0: int,
 
 def utm_forward(lats, lons, lon0_rad: float, e: float, k0_a_cap: float,
                 alpha, false_northing: float):
-    """Native twin of the geo/geodesy.utm_from_latlon series core."""
+    """Native twin of the geo/geodesy.utm_from_latlon series core;
+    lats/lons broadcast mutually, like the NumPy twin."""
     lib = load_library()
-    lats = np.ascontiguousarray(lats, np.float64)
+    shape = np.broadcast_shapes(np.shape(lats), np.shape(lons))
+    lats = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(lats, np.float64), shape))
     lons = np.ascontiguousarray(np.broadcast_to(
-        np.asarray(lons, np.float64), lats.shape))
+        np.asarray(lons, np.float64), shape))
     alpha = np.ascontiguousarray(alpha, np.float64)
     east = np.empty_like(lats)
     north = np.empty_like(lats)

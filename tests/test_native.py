@@ -54,6 +54,31 @@ def test_localization_scalar_alt_broadcast(rpc, monkeypatch):
     np.testing.assert_allclose(lat_n, lat_p, atol=1e-11, rtol=0)
 
 
+def test_localization_scalar_row_broadcast(rpc, monkeypatch):
+    """A scalar row with a large col batch must broadcast, not read past
+    the 1-element buffer (review finding r3)."""
+    col = np.linspace(100.0, 39000.0, 2048)
+    lon_n, lat_n = rpc_mod.localization_np(rpc, col, 512.5, 800.0)
+    _force_numpy(monkeypatch)
+    lon_p, lat_p = rpc_mod.localization_np(rpc, col, 512.5, 800.0)
+    np.testing.assert_allclose(lon_n, lon_p, atol=1e-11, rtol=0)
+    np.testing.assert_allclose(lat_n, lat_p, atol=1e-11, rtol=0)
+
+
+def test_utm_mutual_broadcast():
+    """(N,1) lats x (M,) lons broadcast to a grid through the native
+    dispatch exactly like the NumPy path (review finding r3)."""
+    lats = np.linspace(10.9, 11.4, 64).reshape(-1, 1)
+    lons = np.linspace(42.5, 43.0, 32)
+    e_n, n_n = geodesy.utm_from_latlon(lats, lons, zone=38, southern=False)
+    assert e_n.shape == (64, 32)
+    # forced-NumPy truth via small slices (size < dispatch threshold)
+    e_p, n_p = geodesy.utm_from_latlon(lats[:8], lons, zone=38,
+                                       southern=False)
+    np.testing.assert_allclose(e_n[:8], e_p, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(n_n[:8], n_p, atol=1e-6, rtol=0)
+
+
 def test_projection_native_equals_numpy(rpc, monkeypatch):
     rng = np.random.default_rng(1)
     lon = rpc.lon_offset + rpc.lon_scale * rng.uniform(-1, 1, 4096)
