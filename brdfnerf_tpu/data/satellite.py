@@ -73,6 +73,39 @@ def read_meta_json(path: str, aoi_id: str = "",
     return d
 
 
+def _savez_atomic(path: str, **arrays) -> None:
+    """np.savez to a temp name + os.replace: an interrupted run must never
+    leave a truncated .npz at the final path (np.load on one raises
+    zipfile.BadZipFile forever after)."""
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=os.path.dirname(path))
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def _load_npz(path: str) -> Optional[dict]:
+    """Cache read that treats a corrupt/unreadable .npz as a miss (the
+    bad file is removed so the rebuild below repopulates it)."""
+    import zipfile
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except (OSError, ValueError, zipfile.BadZipFile, KeyError):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
+
+
 def file_id(filename: str) -> str:
     return os.path.splitext(os.path.basename(filename))[0]
 
@@ -529,14 +562,15 @@ class SatelliteDataset:
                 cfg.cache_dir,
                 f"{file_id(meta['img'])}_ds{cfg.img_downscale:g}"
                 f"_{cfg.cs}_mab{int(bool(cfg.mod_alt_bound))}.npz")
-        if cache_p and os.path.exists(cache_p):
-            with np.load(cache_p) as z:
-                rays = z["rays"]
+        cached = (_load_npz(cache_p)
+                  if cache_p and os.path.exists(cache_p) else None)
+        if cached is not None:
+            rays = cached["rays"]
         else:
             rays = get_rays_np(cols, rows, rpc, float(meta["min_alt"]),
                                float(meta["max_alt"]), cfg.cs)
             if cache_p:
-                np.savez(cache_p, rays=rays)
+                _savez_atomic(cache_p, rays=rays)
         if self.utm_zone is None and cfg.cs == "utm":
             # under the thread-pooled loader images race here; the zone is
             # a scene-wide property (same for every view of the AOI), so a
@@ -576,13 +610,14 @@ class SatelliteDataset:
         os.makedirs(cfg.cache_dir, exist_ok=True)
         cache_p = os.path.join(cfg.cache_dir, f"{img_id}_depth_{key}.npz")
         if os.path.exists(cache_p):
-            with np.load(cache_p) as z:
-                return {k: z[k] for k in z.files}
+            cached = _load_npz(cache_p)
+            if cached is not None:
+                return cached
         arrays = build_depth_arrays(
             meta, self.depth_dir, self.scene, cfg.img_downscale,
             cfg.cs, cfg.corrscale, cfg.stdscale, cfg.margin,
             cfg.std_quirk)
-        np.savez(cache_p, **arrays)
+        _savez_atomic(cache_p, **arrays)
         return arrays
 
     def _load_one(self, t: int, json_p: str, with_depth: bool,

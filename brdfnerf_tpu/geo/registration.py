@@ -34,7 +34,11 @@ def _anchors(u: np.ndarray, v: np.ndarray):
     DSM altitudes run ~1e3 m, and sigma^2 = E[z^2] - E[z]^2 on raw values
     would cancel ~7 digits; centering near the mean keeps the moments
     well-conditioned.  Strided subsample keeps the cost negligible."""
-    with np.errstate(all="ignore"):
+    import warnings
+    # nanmean's all-NaN complaint is a warnings-module RuntimeWarning, not
+    # an FP error state, so np.errstate would not silence it
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
         ku = float(np.nanmean(u[::4, ::4]))
         kv = float(np.nanmean(v[::4, ::4]))
     return (ku if np.isfinite(ku) else 0.0), (kv if np.isfinite(kv) else 0.0)
@@ -132,7 +136,11 @@ def downsample2x(u: np.ndarray) -> np.ndarray:
     ph, pw = -h % 2, -w % 2
     up = np.pad(u, ((0, ph), (0, pw)), constant_values=np.nan)
     blocks = up.reshape(up.shape[0] // 2, 2, up.shape[1] // 2, 2)
-    with np.errstate(invalid="ignore"):
+    import warnings
+    with warnings.catch_warnings():
+        # all-NaN 2x2 blocks are expected (they stay NaN); the complaint
+        # is a warnings-module RuntimeWarning, not an FP error state
+        warnings.simplefilter("ignore", RuntimeWarning)
         return np.nanmean(blocks, axis=(1, 3))
 
 

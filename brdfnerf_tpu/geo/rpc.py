@@ -262,9 +262,12 @@ def localization_np(rpc: RPCModel, col, row, alt, iters: int = 20,
                                     np.atleast_1d(row), alt,
                                     iters=iters, tol=tol)
         return lon, lat
-    col = np.atleast_1d(np.asarray(col, np.float64))
-    row = np.atleast_1d(np.asarray(row, np.float64))
-    alt = np.broadcast_to(np.asarray(alt, np.float64), col.shape)
+    # mutual broadcast BEFORE the block split: scalar row/alt against a
+    # large col must not slice a size-1 array into empty blocks
+    bshape = np.broadcast_shapes(np.shape(col), np.shape(row), np.shape(alt))
+    col = np.atleast_1d(np.broadcast_to(np.asarray(col, np.float64), bshape))
+    row = np.atleast_1d(np.broadcast_to(np.asarray(row, np.float64), bshape))
+    alt = np.atleast_1d(np.broadcast_to(np.asarray(alt, np.float64), bshape))
     if col.size > block:
         c, r, a = col.ravel(), row.ravel(), alt.ravel()
         lon = np.empty_like(c)

@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 from typing import Optional
 
 import numpy as np
@@ -29,6 +30,11 @@ _SRC = os.path.join(os.path.dirname(__file__), "rpc_kernels.cpp")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 _ABI = 2
+# the thread-pooled ingestion loader hits load_library concurrently on
+# first use; without the lock, racers either each launch their own g++
+# build or observe _TRIED before the winner's _LIB lands (and silently
+# take the slow NumPy path for their whole image)
+_LOCK = threading.Lock()
 
 
 def _cpu_tag() -> str:
@@ -57,12 +63,16 @@ def _cache_paths():
 
 
 def _prune_stale(current: str) -> None:
-    """Remove superseded rpc_kernels_*.so siblings (old source hash / ABI /
-    CPU tag) so build artifacts don't accumulate across edits."""
+    """Remove superseded rpc_kernels_*.so siblings (old source hash or
+    ABI) so build artifacts don't accumulate across edits.  Siblings built
+    for a DIFFERENT CPU tag are kept: the per-microarchitecture cache
+    naming exists so hosts sharing a cache dir (NFS $HOME) can coexist,
+    and pruning them would force both sides to rebuild on every start."""
     import glob
+    tag = f"_{_cpu_tag()}_"
     for p in glob.glob(os.path.join(os.path.dirname(current),
                                     "rpc_kernels_*.so")):
-        if os.path.abspath(p) != os.path.abspath(current):
+        if os.path.abspath(p) != os.path.abspath(current) and tag in p:
             try:
                 os.remove(p)
             except OSError:
@@ -132,21 +142,27 @@ def load_library() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
-    if os.environ.get("BRDFNERF_NO_NATIVE") == "1":
-        return None
-    for path in _cache_paths():
-        try:
-            if not os.path.exists(path) and not _build(path):
-                continue
-            lib = _bind(ctypes.CDLL(path))
-            if lib.brdfnerf_native_abi_version() != _ABI:
-                continue
-            _LIB = lib
+    with _LOCK:
+        if _TRIED:
             return _LIB
-        except OSError:
-            continue
-    return None
+        try:
+            if os.environ.get("BRDFNERF_NO_NATIVE") != "1":
+                for path in _cache_paths():
+                    try:
+                        if not os.path.exists(path) and not _build(path):
+                            continue
+                        lib = _bind(ctypes.CDLL(path))
+                        if lib.brdfnerf_native_abi_version() != _ABI:
+                            continue
+                        _LIB = lib
+                        break
+                    except OSError:
+                        continue
+        finally:
+            # published LAST: a concurrent fast-path reader that sees
+            # _TRIED must also see the final _LIB
+            _TRIED = True
+    return _LIB
 
 
 def available() -> bool:

@@ -65,6 +65,19 @@ def test_localization_scalar_row_broadcast(rpc, monkeypatch):
     np.testing.assert_allclose(lat_n, lat_p, atol=1e-11, rtol=0)
 
 
+def test_localization_numpy_scalar_row_above_block(rpc, monkeypatch):
+    """NumPy fallback with a scalar row and a batch LARGER than the
+    blocking size: the mutual broadcast must happen before the block
+    split or the second block slices an empty row array (review r3)."""
+    _force_numpy(monkeypatch)
+    col = np.linspace(100.0, 39000.0, 5000)
+    lon, lat = rpc_mod.localization_np(rpc, col, 512.5, 800.0, block=4096)
+    lon_1, lat_1 = rpc_mod.localization_np(
+        rpc, col, np.full_like(col, 512.5), 800.0, block=4096)
+    np.testing.assert_array_equal(lon, lon_1)
+    np.testing.assert_array_equal(lat, lat_1)
+
+
 def test_utm_mutual_broadcast():
     """(N,1) lats x (M,) lons broadcast to a grid through the native
     dispatch exactly like the NumPy path (review finding r3)."""

@@ -156,6 +156,26 @@ def test_ray_cache(tmp_path):
     np.testing.assert_array_equal(ds1.store["rays"], ds2.store["rays"])
 
 
+def test_corrupt_ray_cache_recovers(tmp_path):
+    """A truncated cache .npz (interrupted first run) is treated as a
+    miss and rebuilt, not a permanent crash (review r3)."""
+    import os
+    from synth_aoi import build_aoi as _build
+    aoi = _build(str(tmp_path / "cc"))
+    cache = str(tmp_path / "cache")
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          cache_dir=cache, scene_loc_stride=2)
+    ds1 = SatelliteDataset(cfg, split="train")
+    npzs = [f for f in os.listdir(cache) if f.endswith(".npz")]
+    assert npzs
+    for f in npzs:   # truncate every cache artifact
+        p = os.path.join(cache, f)
+        with open(p, "r+b") as fh:
+            fh.truncate(max(os.path.getsize(p) // 2, 1))
+    ds2 = SatelliteDataset(cfg, split="train")
+    np.testing.assert_array_equal(ds1.store["rays"], ds2.store["rays"])
+
+
 def test_brdf_shaded_generator(tmp_path):
     """BRDF-shaded AOI variant (examples/brdf_inversion_check.py input):
     the Lambertian parameter limit (k=1, theta=0, rhoc=1) reproduces
