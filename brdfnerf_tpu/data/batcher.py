@@ -1,21 +1,36 @@
 """Random minibatch sampling over the flat ray store.
 
-Two variants replace the reference's torch DataLoader with 4 CPU workers
+Three variants replace the reference's torch DataLoader with 4 CPU workers
 (main.py:170-184):
 
   RayBatcher        — host NumPy gather; each step's batch is copied
-                      host->device by the caller.  Used on the mesh path,
-                      where `shard_batch` wants host arrays to place one
-                      shard per device.
-  DeviceRayBatcher  — the store lives in DEVICE memory; each step uploads
-                      only the (batch,) int32 index vector and runs ONE
-                      jitted fused gather on device, so the per-step H2D
-                      traffic is ~4*batch bytes instead of the whole batch
-                      (rays 11f + rgbs 3f + depth arrays ~ 80+ bytes/ray).
-                      Used on the single-device path.
+                      host->device by the caller.  Used on the
+                      host-gather escape-hatch path, where `shard_batch`
+                      wants host arrays to place one shard per device.
+  DeviceRayBatcher  — the store lives in DEVICE memory (replicated over a
+                      mesh when one is given); each step uploads only the
+                      (batch,) int32 index vector and runs ONE jitted
+                      fused gather on device, so the per-step H2D traffic
+                      is ~4*batch bytes instead of the whole batch (rays
+                      11f + rgbs 3f + depth arrays ~ 80+ bytes/ray).
+  ShardedRayBatcher — the store is SHARDED over the mesh's 'data' axis
+                      (each device holds N/D rays), removing the
+                      replication that caps dataset scale (a replicated
+                      8.4M-ray store costs ~0.7 GB of HBM per device; a
+                      sharded one 1/D of that).  Index draws are
+                      per-shard: each device contributes batch/D rays
+                      sampled without replacement from ITS shard
+                      ("stratified over shards" — every ray is still
+                      visited exactly once per local epoch), and the
+                      in-program gather stays device-local via shard_map
+                      (zero collectives added; the gradient all-reduce is
+                      unchanged).
 
-Both draw identical index sequences for a given seed, so swapping them
-never changes training results.
+RayBatcher and DeviceRayBatcher draw identical index sequences for a given
+seed, so swapping them never changes training results.  ShardedRayBatcher
+defines a different (per-shard stratified) draw order; its trajectory
+equals a replicated run replaying the SAME draws via `global_indices`
+(pinned in tests/test_sharding.py).
 """
 
 from __future__ import annotations
@@ -90,3 +105,85 @@ class DeviceRayBatcher(RayBatcher):
         import jax.numpy as jnp
         idx = jnp.asarray(self.next_indices().astype(np.int32))
         return self._gather(self._store, idx)
+
+
+class ShardedRayBatcher:
+    """Device store sharded over the mesh 'data' axis + per-shard index
+    draws (see module docstring).
+
+    The store is padded to a device multiple by WRAPPING (rows 0..pad-1
+    appended, pad < n_devices... strictly pad < shard count), so the
+    duplicated rays are sampled at most once more per local epoch —
+    negligible at dataset scale and exact when N % D == 0.
+
+    next_indices() returns LOCAL per-shard indices laid out as D
+    contiguous blocks of batch/D — the layout jit's P('data') sharding of
+    the index vector maps onto the mesh, so block d lands on device d and
+    indexes device d's shard.  global_indices(local) converts a draw to
+    indices into the padded global store for replicated-replay equality
+    tests.
+    """
+
+    def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
+                 mesh, seed: int = 0, axis: str = "data"):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = {k: v.shape[0] for k, v in arrays.items()}
+        sizes = set(n.values())
+        assert len(sizes) == 1, f"ragged ray store: {n}"
+        self.n = sizes.pop()
+        d = int(mesh.shape[axis])
+        if batch_size % d:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the {d}-device "
+                f"'{axis}' mesh axis")
+        self.n_shards = d
+        self.local_batch = batch_size // d
+        self.batch_size = batch_size
+        self.shard_size = -(-self.n // d)          # ceil
+        pad = self.shard_size * d - self.n
+        sh = NamedSharding(mesh, P(axis))
+        self._store = {}
+        for k, v in arrays.items():
+            if pad:
+                v = np.concatenate([v, v[:pad]], axis=0)
+            self._store[k] = jax.device_put(v, sh)
+        self.rng = np.random.default_rng(seed)
+        self._perms = self._new_perms()
+        self._pos = 0
+
+    def _new_perms(self) -> np.ndarray:
+        return np.stack([self.rng.permutation(self.shard_size)
+                         for _ in range(self.n_shards)])
+
+    @property
+    def store(self) -> Dict:
+        return self._store
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(1, self.shard_size // self.local_batch)
+
+    def next_indices(self) -> np.ndarray:
+        if self._pos + self.local_batch > self.shard_size:
+            self._perms = self._new_perms()
+            self._pos = 0
+        out = self._perms[:, self._pos:self._pos + self.local_batch]
+        self._pos += self.local_batch
+        return np.ascontiguousarray(out.reshape(-1)).astype(np.int32)
+
+    def global_indices(self, local: np.ndarray) -> np.ndarray:
+        """Local per-shard draw -> indices into the PADDED global store
+        (shard d's rows live at [d*shard_size, (d+1)*shard_size))."""
+        blocks = local.reshape(self.n_shards, -1).astype(np.int64)
+        offs = np.arange(self.n_shards, dtype=np.int64)[:, None]
+        return (blocks + offs * self.shard_size).reshape(-1)
+
+    def padded_arrays(self, arrays: Dict[str, np.ndarray]) -> Dict:
+        """The host-side padded twin of the sharded store (for
+        replicated-replay equality tests)."""
+        pad = self.shard_size * self.n_shards - self.n
+        if not pad:
+            return dict(arrays)
+        return {k: np.concatenate([v, v[:pad]], axis=0)
+                for k, v in arrays.items()}

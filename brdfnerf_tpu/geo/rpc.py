@@ -67,6 +67,132 @@ def rpc_from_dict(d: dict) -> RPCModel:
     )
 
 
+_RPC00B_FIELD_MAP = {
+    # RPC00B / IKONOS-sidecar field -> rpcm-style dict key.  LINE = image
+    # row, SAMP = image column; LONG = longitude (the spec's 'L' poly
+    # variable), LAT = latitude ('P'), HEIGHT = altitude ('H').
+    "LINE_OFF": "row_offset", "SAMP_OFF": "col_offset",
+    "LAT_OFF": "lat_offset", "LONG_OFF": "lon_offset",
+    "HEIGHT_OFF": "alt_offset",
+    "LINE_SCALE": "row_scale", "SAMP_SCALE": "col_scale",
+    "LAT_SCALE": "lat_scale", "LONG_SCALE": "lon_scale",
+    "HEIGHT_SCALE": "alt_scale",
+}
+_RPC00B_COEFF_MAP = {
+    "LINE_NUM_COEFF": "row_num", "LINE_DEN_COEFF": "row_den",
+    "SAMP_NUM_COEFF": "col_num", "SAMP_DEN_COEFF": "col_den",
+}
+
+
+def rpc_dict_from_rpc00b_text(text: str) -> dict:
+    """Parse the `_RPC.TXT` sidecar format (IKONOS/WorldView/GeoEye
+    vendor products; what rpcm's rpc_from_rpc_file reads) into the
+    rpcm-style dict `rpc_from_dict` consumes.
+
+    Lines look like `LINE_OFF: +002486.00 pixels` and
+    `LINE_NUM_COEFF_1: +1.154810E-03`; trailing unit words and arbitrary
+    whitespace are ignored, keys are case-insensitive, and the 20
+    coefficients of each polynomial may appear in any order (indexed by
+    their _j suffix, 1-based as in the spec)."""
+    scalars: dict = {}
+    coeffs = {k: [None] * 20 for k in _RPC00B_COEFF_MAP}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or ":" not in line:
+            continue
+        key, _, rest = line.partition(":")
+        key = key.strip().upper()
+        tok = rest.split()
+        if not tok:
+            continue
+        try:
+            val = float(tok[0])
+        except ValueError:
+            continue
+        if key in _RPC00B_FIELD_MAP:
+            scalars[_RPC00B_FIELD_MAP[key]] = val
+        else:
+            base, _, idx = key.rpartition("_")
+            if base in _RPC00B_COEFF_MAP and idx.isdigit():
+                j = int(idx)
+                if 1 <= j <= 20:
+                    coeffs[base][j - 1] = val
+    missing = [k for k in _RPC00B_FIELD_MAP.values() if k not in scalars]
+    for base, vals in coeffs.items():
+        holes = [j + 1 for j, v in enumerate(vals) if v is None]
+        if holes:
+            missing.append(f"{base}_{{{holes[0]}..}}")
+    if missing:
+        raise ValueError(f"RPC00B sidecar is missing fields: {missing}")
+    d = dict(scalars)
+    for base, key in _RPC00B_COEFF_MAP.items():
+        d[key] = [float(v) for v in coeffs[base]]
+    return d
+
+
+def rpc_dict_from_dimap_xml(path: str) -> dict:
+    """Parse a Pléiades/SPOT DIMAP v2 RPC XML (`RPC_*.XML` shipped next to
+    the imagery) into the rpcm-style dict.
+
+    Uses the Inverse_Model (ground -> image) coefficients — the direction
+    the RPC00B rational polynomials define — plus the RFM_Validity
+    offsets/scales.  DIMAP pixel indices are 1-based (first pixel centre
+    is (1, 1)); like rpcm's DIMAP loader, LINE_OFF/SAMP_OFF are shifted by
+    -1 so projections land in the 0-based pixel grid the datasets use."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+
+    def find_val(tag):
+        el = root.find(f".//{tag}")
+        if el is None or el.text is None:
+            raise ValueError(f"{path}: DIMAP RPC missing <{tag}>")
+        return float(el.text)
+
+    d = {}
+    for f, key in _RPC00B_FIELD_MAP.items():
+        d[key] = find_val(f)
+    d["row_offset"] -= 1.0
+    d["col_offset"] -= 1.0
+    # Inverse_Model holds SAMP_/LINE_ coefficient tags; scope the search
+    # under it when present (some products also carry a Direct_Model with
+    # clashing-free names LON_/LAT_, but be defensive)
+    scope = root.find(".//Inverse_Model")
+    scope = scope if scope is not None else root
+    for base, key in _RPC00B_COEFF_MAP.items():
+        vals = []
+        for j in range(1, 21):
+            el = scope.find(f".//{base}_{j}")
+            if el is None or el.text is None:
+                raise ValueError(f"{path}: DIMAP RPC missing <{base}_{j}>")
+            vals.append(float(el.text))
+        d[key] = vals
+    return d
+
+
+def rpc_dict_from_geotiff(path: str) -> dict:
+    """Read the RPC coefficient tag (50844) embedded in a GeoTIFF, as
+    vendor products carry it (the reference reads these via
+    rpcm.rpc_from_geotiff, generate_dataset.py:152-163).  Parses the IFD
+    only — pixel data is not decoded."""
+    import struct
+    from ..utils.geotiff import _read_ifd_entries, _rpc_dict_from_tag, _T_RPC
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, ifd_off = struct.unpack(endian + "HI", buf[2:8])
+    if magic == 43:
+        raise ValueError(f"{path}: BigTIFF (magic 43) is not supported")
+    tags, _ = _read_ifd_entries(buf, ifd_off, endian)
+    if _T_RPC not in tags:
+        raise ValueError(f"{path}: no RPC coefficient tag (50844)")
+    return _rpc_dict_from_tag(tags[_T_RPC])
+
+
 def rescale_rpc(rpc: RPCModel, alpha: float) -> RPCModel:
     """Scale for an image resize by factor alpha (sat_utils.py:90-108)."""
     return rpc._replace(

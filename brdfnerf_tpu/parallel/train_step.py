@@ -243,7 +243,7 @@ def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
 def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
                           tcfg: TrainConfig, optimizer,
                           schedule: GateSchedule, has_kp: bool = False,
-                          mesh=None):
+                          mesh=None, store_sharded: bool = False):
     """Single-dispatch train step: the minibatch gather from the
     device-resident ray store, the schedule gates, and the per-step RNG key
     all happen INSIDE the jitted program.  Per step the host sends one
@@ -251,20 +251,29 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     the reference spreads over 4 DataLoader workers plus a host chunk loop
     (main.py:170-184) is one fused XLA program.
 
-    With a mesh, the store is REPLICATED over the devices and the index
-    vector is sharded over the 'data' axis, so the gather stays local
-    (zero collectives) and each device materializes only its shard of the
-    batch; the gradient all-reduce over ICI is unchanged.  The host-side
-    work per step is identical to the single-device path: one small
-    int32 upload.
+    With a mesh, the store is REPLICATED over the devices by default and
+    the index vector is sharded over the 'data' axis, so the gather stays
+    local (zero collectives) and each device materializes only its shard
+    of the batch; the gradient all-reduce over ICI is unchanged.  The
+    host-side work per step is identical to the single-device path: one
+    small int32 upload.
+
+    store_sharded=True (requires a mesh): the store itself is SHARDED
+    over 'data' (axis 0, 1/D of the rays — and of the HBM — per device)
+    and `idx` carries PER-SHARD LOCAL indices laid out as D contiguous
+    blocks (ShardedRayBatcher's contract); the gather runs inside a
+    shard_map so each device reads only its own shard — still zero
+    collectives, and the rest of the program (loss mean over the global
+    batch, SPMD gradient all-reduce) is untouched.
 
     Signature: (state, store, idx, [kp_store, kp_idx,] base_key).
     The index sequence still comes from the host batcher, so shuffled-epoch
     (sample-without-replacement) semantics are preserved exactly.
     """
-
+    if store_sharded and mesh is None:
+        raise ValueError("store_sharded requires a mesh")
     one_step = _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule,
-                                has_kp)
+                                has_kp, mesh if store_sharded else None)
 
     def step_fn(state: TrainState, store, idx, *rest):
         if has_kp:
@@ -276,7 +285,9 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
-    return jax.jit(step_fn, in_shardings=_fused_shardings(mesh, has_kp),
+    return jax.jit(step_fn,
+                   in_shardings=_fused_shardings(mesh, has_kp,
+                                                 store_sharded=store_sharded),
                    out_shardings=_fused_out_shardings(mesh),
                    donate_argnums=(0,))
 
@@ -286,12 +297,31 @@ def _gather(store, idx):
         lambda a: jnp.take(a, idx, axis=0), store)
 
 
-def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp):
+def _gather_sharded(mesh, store, idx):
+    """Device-local gather from a 'data'-sharded store with per-shard
+    local indices (D contiguous blocks of batch/D): each device takes its
+    idx block into its own shard — no collectives.  The result is the
+    global (batch, ...) batch sharded over 'data'."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    return shard_map(
+        lambda s, i: _gather(s, i), mesh=mesh,
+        in_specs=(P("data"), P("data")), out_specs=P("data"))(store, idx)
+
+
+def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp,
+                     sharded_mesh=None):
     """Shared body of the fused and scan-chunked steps: in-program store
-    gather, in-program gates/key from state.step, one optimizer update."""
+    gather, in-program gates/key from state.step, one optimizer update.
+    sharded_mesh: when set, the MAIN store is 'data'-sharded and idx holds
+    per-shard local indices (the kp store stays replicated — tie-point
+    stores are tiny)."""
 
     def one_step(state, store, idx, kp_store, kp_idx, base_key):
-        batch = _gather(store, idx)
+        if sharded_mesh is not None:
+            batch = _gather_sharded(sharded_mesh, store, idx)
+        else:
+            batch = _gather(store, idx)
         if has_kp:
             kb = _gather(kp_store, kp_idx)
             batch = dict(batch, kp_rays=kb["rays"], kp_depths=kb["depths"],
@@ -314,15 +344,17 @@ def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp):
     return one_step
 
 
-def _fused_shardings(mesh, has_kp, idx_spec=None):
+def _fused_shardings(mesh, has_kp, idx_spec=None, store_sharded=False):
     """idx_spec: PartitionSpec of the index argument(s) — P('data') for
     the single-step path, P(None, 'data') for the scan path's (N, batch)
-    index matrix; everything else is replicated."""
+    index matrix; everything else is replicated except the main store,
+    which shards over 'data' when store_sharded."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     idx = NamedSharding(mesh, idx_spec if idx_spec is not None
                         else P("data"))
-    shardings = [repl, repl, idx]            # state, store, idx
+    store = NamedSharding(mesh, P("data")) if store_sharded else repl
+    shardings = [repl, store, idx]           # state, store, idx
     if has_kp:
         shardings += [repl, idx]             # kp_store, kp_idx
     shardings.append(repl)                   # base_key
@@ -338,7 +370,7 @@ def _fused_out_shardings(mesh):
 def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
                          tcfg: TrainConfig, optimizer,
                          schedule: GateSchedule, has_kp: bool = False,
-                         mesh=None):
+                         mesh=None, store_sharded: bool = False):
     """N fused steps per dispatch via lax.scan — same trajectory as N
     calls of make_fused_train_step (identical index/key/gate sequences;
     the body IS the fused step body), but the host pays ONE dispatch per
@@ -352,10 +384,13 @@ def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
 
     On a mesh, idx_mat shards its BATCH axis over 'data' (P(None, 'data'))
     against the replicated store — same local-gather layout as the
-    single-step path.
+    single-step path.  store_sharded shards the main store over 'data'
+    with per-shard local idx rows, exactly as in make_fused_train_step.
     """
+    if store_sharded and mesh is None:
+        raise ValueError("store_sharded requires a mesh")
     one_step = _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule,
-                                has_kp)
+                                has_kp, mesh if store_sharded else None)
 
     def scan_fn(state: TrainState, store, idx_mat, *rest):
         if has_kp:
@@ -380,7 +415,8 @@ def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     from jax.sharding import PartitionSpec as P
     return jax.jit(scan_fn,
                    in_shardings=_fused_shardings(mesh, has_kp,
-                                                 idx_spec=P(None, "data")),
+                                                 idx_spec=P(None, "data"),
+                                                 store_sharded=store_sharded),
                    out_shardings=_fused_out_shardings(mesh),
                    donate_argnums=(0,))
 

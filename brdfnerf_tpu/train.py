@@ -90,7 +90,19 @@ class Trainer:
                  visu_scale: float = 1.0,
                  save_first_n_visu: int = 0,
                  save_visu_every_n_epochs: int = 1,
-                 test_sun_v: bool = False):
+                 test_sun_v: bool = False,
+                 sharded_store: bool = False,
+                 scale_global_batch: bool = False):
+        """sharded_store (mesh only): shard the device ray store over the
+        'data' axis (1/D of the rays — and HBM — per device) with
+        per-shard stratified index draws, instead of replicating it; see
+        data/batcher.ShardedRayBatcher.  scale_global_batch (mesh only):
+        the N-chip scaled-batch mode — global batch becomes
+        batch_size * n_devices (each device keeps the single-chip
+        per-device batch) and the learning rate scales LINEARLY with the
+        same factor (Goyal et al. linear-scaling rule; per-epoch StepLR
+        cadence is preserved automatically because steps_per_epoch
+        shrinks by the same factor)."""
         self.cfg = cfg
         self.paths = paths
         self.val_dataset = val_dataset
@@ -98,6 +110,15 @@ class Trainer:
         self.log = ScalarLog(paths.logs_dir, use_tb)
         os.makedirs(paths.ckpts_dir, exist_ok=True)
 
+        if scale_global_batch and mesh is not None and int(mesh.size) > 1:
+            k = int(mesh.size)
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, train=_dc.replace(
+                cfg.train, batch_size=cfg.train.batch_size * k,
+                lr=cfg.train.lr * k))
+            self.cfg = cfg
+            print(f"[mesh] scaled global batch: {cfg.train.batch_size} "
+                  f"rays/step ({k} devices), lr -> {cfg.train.lr:.3e}")
         tcfg = cfg.train
         batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
                                   "valid_depth", "depth_std", "normals",

@@ -1,19 +1,31 @@
-"""Minimal self-contained GeoTIFF codec (read + write), NumPy only.
+"""Self-contained GeoTIFF codec (read + write), NumPy only.
 
 The reference delegates raster I/O to rasterio/GDAL (satellite.py:67-80,
 eval.py:153-182, sat_utils.py:185-276).  Neither wheel exists in this
-image, and the pipeline only needs a narrow slice of TIFF: single- or
-multi-band strip images, uint8/uint16/int16/float32/float64, uncompressed
-or DEFLATE, plus the three GeoTIFF tags that carry georeferencing
-(ModelPixelScale, ModelTiepoint, GeoKeyDirectory with a projected EPSG
-code).  That slice is implemented here from the TIFF 6.0 / GeoTIFF 1.1
-specs; PIL is used as a pixel-data fallback for exotic compressions.
+image, so the TIFF slice real satellite products use is implemented here
+from the TIFF 6.0 / GeoTIFF 1.1 specs:
+
+  * strip AND tile layouts (real Pléiades/WorldView crops are tiled)
+  * uncompressed, DEFLATE/zlib, LZW (with early-change), PackBits
+  * horizontal predictor (2) for ints and floating-point predictor (3),
+    applied per strip/tile segment as libtiff/GDAL produce them
+  * uint8/uint16/int16/int32/float32/float64, chunky or planar
+  * georeferencing tags: ModelPixelScale, ModelTiepoint, GeoKeyDirectory
+    (projected or geographic EPSG), GDAL_NODATA
+  * the RPC coefficient tag (50844) that vendor products embed — parsed
+    into an rpcm-style dict (the reference reads RPCs via
+    rpcm.rpc_from_geotiff in generate_dataset.py:152-163)
+
+PIL remains a pixel-data fallback for compressions outside that slice
+(e.g. JPEG-in-TIFF).  BigTIFF is detected and rejected with a clear
+message (classic TIFF covers every artifact the pipeline consumes; the
+conformance suite pins the error text).
 
 API (shapes follow rasterio conventions):
   read_geotiff(path)  -> (array (bands, H, W), GeoProfile)
   write_geotiff(path, array, profile)
   GeoProfile: ulx/uly (upper-left corner), xres/yres (yres > 0, applied
-  as -yres going down), epsg, nodata.
+  as -yres going down), epsg, nodata, rpc (optional rpcm-style dict).
 """
 
 from __future__ import annotations
@@ -36,6 +48,7 @@ _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
 _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
 _T_NODATA = 42113
+_T_RPC = 50844   # RPCCoefficientTag: 92 doubles (see _rpc_dict_from_tag)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
@@ -55,6 +68,7 @@ class GeoProfile:
     yres: float = 1.0       # positive; row step is -yres
     epsg: Optional[int] = None
     nodata: Optional[float] = None
+    rpc: Optional[dict] = None   # rpcm-style dict from tag 50844, if present
 
     @property
     def geotransform(self):
@@ -101,6 +115,175 @@ def _np_dtype(bits: int, fmt: int, endian: str):
     return np.dtype(f"{endian if endian == '<' else '>'}{kind}{bits // 8}")
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bitstream, 9->12 bit
+    codes, ClearCode=256, EOI=257, 'early change' (the code width grows
+    one code EARLIER than plain LZW — when the table holds 2^n - 1
+    entries).  State resets per strip/tile, so callers decode segments
+    independently."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    nbits = 9
+    prev: Optional[bytes] = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= nbits:
+            code = (bitbuf >> (bitcnt - nbits)) & ((1 << nbits) - 1)
+            bitcnt -= nbits
+            if code == EOI:
+                return bytes(out)
+            if code == CLEAR:
+                table = list(base)
+                nbits = 9
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:           # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        hdr = data[i]
+        i += 1
+        if hdr < 128:                       # literal run of hdr+1 bytes
+            out += data[i:i + hdr + 1]
+            i += hdr + 1
+        elif hdr > 128:                     # repeat next byte 257-hdr times
+            out += data[i:i + 1] * (257 - hdr)
+            i += 1
+        # hdr == 128: no-op
+    return bytes(out)
+
+
+def _decode_segment(raw: bytes, comp: int, path: str,
+                    expected: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):                  # DEFLATE (new + old code)
+        return zlib.decompress(raw)
+    if comp == 5:                           # LZW
+        return _lzw_decode(raw)
+    if comp == 32773:                       # PackBits
+        return _packbits_decode(raw, expected)
+    raise ValueError(f"{path}: compression {comp} not handled natively")
+
+
+def _unpredict(seg: np.ndarray, predictor: int, dt: np.dtype) -> np.ndarray:
+    """Undo the TIFF predictor on one decoded segment (rows, width, spp).
+
+    Predictor 2 (horizontal differencing) accumulates per channel across
+    the segment's width with modular wraparound; predictor 3 (floating
+    point, TechNote 3) byte-accumulates each row then reassembles the
+    byte-plane-major (MSB plane first) layout into native floats.  The
+    predictor resets at every segment, which is why the caller applies it
+    per strip/tile BEFORE assembling the canvas."""
+    if predictor == 2:
+        return np.cumsum(seg.astype(np.int64), axis=1).astype(dt)
+    if predictor == 3:
+        rows, w, spp = seg.shape
+        bps = dt.itemsize
+        rb = np.ascontiguousarray(seg).view(np.uint8).reshape(rows, w * spp * bps)
+        rb = np.cumsum(rb.astype(np.uint32), axis=1).astype(np.uint8)
+        planes = rb.reshape(rows, bps, w * spp)          # plane 0 = MSB
+        be = planes.transpose(0, 2, 1)                   # (rows, w*spp, bps)
+        flat = np.ascontiguousarray(be).reshape(rows, w * spp * bps)
+        vals = flat.view(np.dtype(f">{dt.kind}{bps}"))
+        return vals.reshape(rows, w, spp).astype(dt.newbyteorder("="))
+    return seg
+
+
+def _assemble_pixels(buf, tags, path, endian, w, h, spp, dt, comp,
+                     planar, predictor) -> np.ndarray:
+    """Decode strips or tiles into an (h, w, spp) array (chunky) or
+    (spp, h, w) (planar), with the predictor undone per segment."""
+    bps = dt.itemsize
+    tiled = _T_TILE_OFFSETS in tags
+    if tiled:
+        tw = tags[_T_TILE_W][0]
+        th = tags[_T_TILE_H][0]
+        offsets = tags[_T_TILE_OFFSETS]
+        counts = tags[_T_TILE_COUNTS]
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        n_band_groups = spp if planar == 2 else 1
+        seg_spp = 1 if planar == 2 else spp
+        canvas = np.zeros((n_band_groups, h, w, seg_spp), dtype=dt)
+        expected = th * tw * seg_spp * bps
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            data = _decode_segment(buf[o:o + c], comp, path, expected)
+            tile = np.frombuffer(data, dtype=dt,
+                                 count=th * tw * seg_spp).copy()
+            tile = tile.reshape(th, tw, seg_spp)
+            tile = _unpredict(tile, predictor, dt)
+            g, rem = divmod(i, tiles_y * tiles_x)
+            ty, tx = divmod(rem, tiles_x)
+            y0, x0 = ty * th, tx * tw
+            ny = min(th, h - y0)
+            nx = min(tw, w - x0)
+            canvas[g, y0:y0 + ny, x0:x0 + nx] = tile[:ny, :nx]
+        if planar == 2:
+            return canvas[:, :, :, 0]                    # (spp, h, w)
+        return canvas[0]                                 # (h, w, spp)
+
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags[_T_STRIP_COUNTS]
+    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
+    seg_spp = 1 if planar == 2 else spp
+    strips_per_band = (h + rows_per_strip - 1) // rows_per_strip
+    segs = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        band_row = i % strips_per_band if planar == 2 else i
+        rows = min(rows_per_strip, h - band_row * rows_per_strip)
+        expected = rows * w * seg_spp * bps
+        data = _decode_segment(buf[o:o + c], comp, path, expected)
+        seg = np.frombuffer(data, dtype=dt, count=rows * w * seg_spp).copy()
+        seg = seg.reshape(rows, w, seg_spp)
+        segs.append(_unpredict(seg, predictor, dt))
+    flat = np.concatenate(segs, axis=0)                  # (spp*h | h, w, seg_spp)
+    if planar == 2:
+        return flat[:, :, 0].reshape(spp, h, w)
+    return flat.reshape(h, w, spp)
+
+
+def _rpc_dict_from_tag(vals) -> dict:
+    """Tag 50844 (RPCCoefficientTag): 92 doubles in the order
+    ERR_BIAS, ERR_RAND, LINE_OFF, SAMP_OFF, LAT_OFF, LONG_OFF, HEIGHT_OFF,
+    LINE_SCALE, SAMP_SCALE, LAT_SCALE, LONG_SCALE, HEIGHT_SCALE, then
+    LINE_NUM(20), LINE_DEN(20), SAMP_NUM(20), SAMP_DEN(20) — mapped to the
+    rpcm-style dict the dataset JSONs carry (LINE=row, SAMP=col)."""
+    v = [float(x) for x in vals]
+    if len(v) != 92:
+        raise ValueError(f"RPC tag holds {len(v)} values, expected 92")
+    return {
+        "row_offset": v[2], "col_offset": v[3],
+        "lat_offset": v[4], "lon_offset": v[5], "alt_offset": v[6],
+        "row_scale": v[7], "col_scale": v[8],
+        "lat_scale": v[9], "lon_scale": v[10], "alt_scale": v[11],
+        "row_num": v[12:32], "row_den": v[32:52],
+        "col_num": v[52:72], "col_den": v[72:92],
+    }
+
+
 def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
     with open(path, "rb") as f:
         buf = f.read()
@@ -112,7 +295,9 @@ def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
         raise ValueError(f"{path}: not a TIFF")
     magic, ifd_off = struct.unpack(endian + "HI", buf[2:8])
     if magic == 43:
-        raise ValueError(f"{path}: BigTIFF not supported")
+        raise ValueError(
+            f"{path}: BigTIFF (magic 43) is not supported — convert to "
+            f"classic TIFF (e.g. gdal_translate -co BIGTIFF=NO)")
     tags, _ = _read_ifd_entries(buf, ifd_off, endian)
 
     w = tags[_T_WIDTH][0]
@@ -125,30 +310,14 @@ def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
     dt = _np_dtype(bits, fmt, endian)
 
-    if comp in (1, 8, 32946) and _T_STRIP_OFFSETS in tags:
-        offsets = tags[_T_STRIP_OFFSETS]
-        counts = tags[_T_STRIP_COUNTS]
-        rows_per_strip = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
-        chunks = []
-        for o, c in zip(offsets, counts):
-            raw = buf[o:o + c]
-            if comp in (8, 32946):
-                raw = zlib.decompress(raw)
-            chunks.append(raw)
-        data = b"".join(chunks)
-        arr = np.frombuffer(data, dtype=dt, count=h * w * spp)
-        if planar == 2:
-            arr = arr.reshape(spp, h, w)
-        else:
-            arr = arr.reshape(h, w, spp).transpose(2, 0, 1)
-        if predictor == 2:
-            arr = np.cumsum(arr.astype(np.int64), axis=-1).astype(dt)
-        elif predictor == 3:
-            raise ValueError(f"{path}: float predictor not supported")
-        del rows_per_strip
-    else:
-        # exotic compression / tiled: PIL fallback (no geo tags lost — we
-        # already parsed them from the IFD above)
+    try:
+        arr = _assemble_pixels(buf, tags, path, endian, w, h, spp, dt,
+                               comp, planar, predictor)
+        if arr.ndim == 3 and planar != 2:
+            arr = arr.transpose(2, 0, 1)                 # -> (bands, h, w)
+    except ValueError:
+        # compression outside the native slice (e.g. JPEG-in-TIFF): PIL
+        # fallback for pixel data only — geo tags were parsed from the IFD
         from PIL import Image
         img = Image.open(path)
         a = np.asarray(img)
@@ -178,6 +347,8 @@ def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
             prof.nodata = float(tags[_T_NODATA][0])
         except (TypeError, ValueError):
             pass
+    if _T_RPC in tags:
+        prof.rpc = _rpc_dict_from_tag(tags[_T_RPC])
     arr = arr.astype(arr.dtype.newbyteorder("="))
     return arr, prof
 
@@ -255,6 +426,20 @@ def write_geotiff(path: str, array: np.ndarray, profile: GeoProfile = None,
     if nodata is not None:
         nd = (f"{nodata:g}").encode("ascii") + b"\0"
         entries.append((_T_NODATA, 2, nd))
+    if prof.rpc is not None:
+        r = prof.rpc
+        rpc_vals = ([0.0, 0.0,
+                     float(r["row_offset"]), float(r["col_offset"]),
+                     float(r["lat_offset"]), float(r["lon_offset"]),
+                     float(r["alt_offset"]),
+                     float(r["row_scale"]), float(r["col_scale"]),
+                     float(r["lat_scale"]), float(r["lon_scale"]),
+                     float(r["alt_scale"])]
+                    + [float(x) for x in r["row_num"]]
+                    + [float(x) for x in r["row_den"]]
+                    + [float(x) for x in r["col_num"]]
+                    + [float(x) for x in r["col_den"]])
+        entries.append((_T_RPC, 12, tuple(rpc_vals)))
     entries.append((_T_STRIP_OFFSETS, 4, (0,)))   # patched below
     entries.sort(key=lambda e: e[0])
 
