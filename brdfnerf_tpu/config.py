@@ -146,6 +146,15 @@ class RenderConfig:
     # sun-visibility march even when apply_brdf is off, so validation/eval
     # can render the sun map before the BRDF phase starts
     force_sun_march: bool = False
+    # Sample count of the analytic sun-visibility march.  0 (default) =
+    # the REFERENCE'S intent: N_samples (rendering.py:251-253 marches
+    # `N_samples`, i.e. 64 at the blessed config — its shape error at
+    # spsbrdfnerf.py:266 came from tiling that (N, 64) result against the
+    # 128-sample merged pass, which this framework avoids by consuming
+    # only the per-ray transparency).  -1 = the merged final count
+    # (n_samples + guided, rounds 1-3 behavior, ~2x the march FLOPs for
+    # no measured fidelity gain).  Any positive int = explicit count.
+    sun_march_samples: int = 0
     # TPU-native: run the DIFFERENTIATED trunk of the main inference
     # (sigma + feats + analytic density-gradient normals) as a fused
     # Pallas kernel pair with a hand-derived custom VJP — forward and the
@@ -176,6 +185,17 @@ class RenderConfig:
     def effective_guided(self) -> int:
         # guided_samples == 2 degenerates to 1 mean sample (rendering.py:240-242)
         return 1 if self.guided_samples == 2 else self.guided_samples
+
+    def sun_march_count(self, final_count: int) -> int:
+        """Sample count of the analytic sun march.  sun_march_samples = 0
+        follows the reference (rendering.py:251-253): effective_guided
+        under gsam_only, else n_samples; -1 = the merged final count
+        (rounds 1-3 behavior); any positive value is explicit."""
+        if self.sun_march_samples == -1:
+            return final_count
+        if self.sun_march_samples > 0:
+            return self.sun_march_samples
+        return self.effective_guided if self.gsam_only else self.n_samples
 
 
 @dataclass(frozen=True)

@@ -113,6 +113,20 @@ def _render_one(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     return result
 
 
+def _resample_axis1(a, m: int):
+    """Linear index-resampling of (N, n) -> (N, m) along axis 1 (static
+    shapes; identity when n == m).  Used to map the sun-march per-sample
+    transparency onto the merged final sample axis."""
+    n = int(a.shape[1])
+    if n == m:
+        return a
+    pos = jnp.linspace(0.0, n - 1.0, m, dtype=a.dtype)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    w = (pos - lo.astype(a.dtype))[None, :]
+    return a[:, lo] * (1.0 - w) + a[:, hi] * w
+
+
 def _solar_correction(net, mcfg, rcfg, rays_o, sun_d, z_vals, t_emb, key):
     """Solar-correction pass: re-render along sun directions and expose its
     transparency/weights/sun for SNerfLoss terms 2-3 (rendering.py:194-204,
@@ -174,7 +188,14 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
 
     # analytic sun-visibility march (rendering.py:244-259): march from the
     # predicted surface toward the sun; transparency along that ray is the
-    # per-sample sun visibility.
+    # per-sample sun visibility.  The march count follows the reference's
+    # intent (N_samples, or guided count under gsam_only —
+    # rendering.py:251-253) via rcfg.sun_march_samples; when it differs
+    # from the merged final count, the transparency is linearly resampled
+    # onto the final sample axis, fixing the reference's shape error
+    # (spsbrdfnerf.py:266) WITHOUT changing the per-sample pairing
+    # semantics (rounds 1-3 marched at the final count outright;
+    # sun_march_samples=-1 restores that exactly).
     sun_vis = None
     sun_weights = None
     if mcfg.sun_v == "analystic" and (rcfg.apply_brdf
@@ -185,12 +206,14 @@ def _render_spsbrdf(params, mcfg, rcfg, inp, rays_o, rays_d, near, far,
         scale = jnp.where(jnp.abs(sun_d[0, 2]) > 1e-5,
                           jnp.abs(rays_d[0, 2] / sun_d[0, 2]), 1.0)
         far_sun = far_sun * scale
-        n_sun = z_final.shape[1]
+        n_sun = rcfg.sun_march_count(int(z_final.shape[1]))
         z_sun = stratified_z_vals(keys[5], n_sun, far_sun * 0.01, far_sun,
                                   perturb=rcfg.perturb)
         res_sun = sigma_pass(net, mcfg, rcfg, pt_surf, sun_d, z_sun,
                              key=keys[6])
-        sun_vis = jax.lax.stop_gradient(res_sun["transparency"][..., None])
+        trans = _resample_axis1(res_sun["transparency"],
+                                int(z_final.shape[1]))
+        sun_vis = jax.lax.stop_gradient(trans[..., None])
         sun_weights = jax.lax.stop_gradient(res_sun["weights"])
 
     # phase 2: full inference on merged samples

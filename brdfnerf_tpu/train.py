@@ -120,6 +120,13 @@ class Trainer:
             print(f"[mesh] scaled global batch: {cfg.train.batch_size} "
                   f"rays/step ({k} devices), lr -> {cfg.train.lr:.3e}")
         tcfg = cfg.train
+        # observability guard: fitting hotspot-gated BRDF parameters
+        # (RPV rhoc, Hapke c) on geometry that never samples the hotspot
+        # leaves them at their priors — warn up front (inversion study,
+        # BASELINE.md)
+        if "rays" in train_store:
+            from .analysis import warn_unobservable_brdf_params
+            warn_unobservable_brdf_params(train_store["rays"], cfg.model)
         batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
                                   "valid_depth", "depth_std", "normals",
                                   "valid_normal") if k in train_store]
@@ -132,6 +139,11 @@ class Trainer:
         # same =0-means-off convention as BRDFNERF_COMPILE_CACHE
         self.fused_loop = os.environ.get(
             "BRDFNERF_NO_FUSED_LOOP", "0") in ("", "0")
+        self.sharded_store = bool(sharded_store and mesh is not None
+                                  and self.fused_loop)
+        if sharded_store and not self.sharded_store:
+            print("[mesh] sharded_store ignored: needs a mesh and the "
+                  "fused loop", flush=True)
         self._store_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -142,8 +154,15 @@ class Trainer:
                                         sharding=self._store_sharding)
         else:
             batcher_cls = RayBatcher if mesh is not None else DeviceRayBatcher
-        self.batcher = batcher_cls({k: train_store[k] for k in batch_keys},
-                                   tcfg.batch_size, seed=seed)
+        if self.sharded_store:
+            from .data.batcher import ShardedRayBatcher
+            self.batcher = ShardedRayBatcher(
+                {k: train_store[k] for k in batch_keys},
+                tcfg.batch_size, mesh, seed=seed)
+        else:
+            self.batcher = batcher_cls(
+                {k: train_store[k] for k in batch_keys},
+                tcfg.batch_size, seed=seed)
         # sat-nerf keypoint depth: a second batcher over the tie-point store;
         # each step's batch carries a kp_* sub-batch for the extra forward
         # pass in compute_losses (reference main.py:177-183 second loader,
@@ -291,7 +310,8 @@ class Trainer:
                 self._step_fns[phase] = make_fused_train_step(
                     self.cfg.model, rcfg, self.cfg.train, self.opt,
                     self._gate_schedule(),
-                    has_kp=self.depth_batcher is not None, mesh=self.mesh)
+                    has_kp=self.depth_batcher is not None, mesh=self.mesh,
+                    store_sharded=self.sharded_store)
             else:
                 self._step_fns[phase] = make_train_step(
                     self.cfg.model, rcfg, self.cfg.train, self.opt,
@@ -320,7 +340,8 @@ class Trainer:
             self._step_fns[key] = make_scan_train_step(
                 self.cfg.model, rcfg, self.cfg.train, self.opt,
                 self._gate_schedule(),
-                has_kp=self.depth_batcher is not None, mesh=self.mesh)
+                has_kp=self.depth_batcher is not None, mesh=self.mesh,
+                store_sharded=self.sharded_store)
         return self._step_fns[key]
 
     def _gates(self, step: int, epoch: int) -> TrainGates:

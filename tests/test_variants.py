@@ -298,6 +298,73 @@ def test_force_sun_march(store):
     assert "sun_coarse" in on and on["sun_coarse"].shape == (8, 16, 1)
 
 
+def test_sun_march_samples_knob(store):
+    """--sun_march_samples semantics (config.py:sun_march_count): 0
+    (default) marches N_samples — the reference's actual march count
+    (rendering.py:251-253) — and linearly resamples the transparency onto
+    the merged final axis; -1 marches at the final merged count (rounds
+    1-3 behavior); positive ints are explicit.  Equal effective counts
+    must produce bitwise-equal renders."""
+    from brdfnerf_tpu.render.render import render_rays, RenderInputs
+    from brdfnerf_tpu.models.network import init_network
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", sun_v="analystic",
+                       func_m=True, func_f=True, func_h=1,
+                       layers=4, feat=64, skips=(2,))
+    params = {"coarse": init_network(jax.random.PRNGKey(0), mcfg)}
+    rays = jnp.asarray(store["rays"][:8])
+    inp = RenderInputs(rays=rays, cos_irra_on=jnp.asarray(False))
+
+    def run(sms):
+        rc = RenderConfig(n_samples=8, guided_samples=8,
+                          force_sun_march=True, sun_march_samples=sms)
+        return jax.jit(lambda p, i, k: render_rays(p, mcfg, rc, i, k))(
+            params, inp, jax.random.PRNGKey(0))
+
+    default, legacy = run(0), run(-1)
+    explicit8, explicit16 = run(8), run(16)
+    # all emit the sun map on the merged 16-sample axis
+    for r in (default, legacy, explicit8, explicit16):
+        assert r["sun_coarse"].shape == (8, 16, 1)
+        assert np.isfinite(np.asarray(r["sun_coarse"])).all()
+    # equal effective march counts are bitwise-equal programs
+    np.testing.assert_array_equal(np.asarray(default["sun_coarse"]),
+                                  np.asarray(explicit8["sun_coarse"]))
+    np.testing.assert_array_equal(np.asarray(legacy["sun_coarse"]),
+                                  np.asarray(explicit16["sun_coarse"]))
+    # 8- and 16-sample marches sample different z stations, so the maps
+    # differ, but visibility stays a valid transparency in [0, 1]
+    assert not np.array_equal(np.asarray(default["sun_coarse"]),
+                              np.asarray(legacy["sun_coarse"]))
+    s = np.asarray(default["sun_coarse"])
+    assert (s >= -1e-6).all() and (s <= 1.0 + 1e-6).all()
+    # the gsam_only branch: march count collapses to the effective guided
+    # count (rendering.py:251-253's gsam_only arm)
+    rc = RenderConfig(n_samples=8, guided_samples=8, gsam_only=True)
+    assert rc.sun_march_count(8) == 8
+    rc2 = RenderConfig(n_samples=8, guided_samples=2, gsam_only=True)
+    assert rc2.sun_march_count(1) == 1          # 2 degenerates to 1 mean
+
+
+def test_resample_axis1():
+    """_resample_axis1 is identity at equal counts, preserves endpoints,
+    and linearly interpolates interior stations."""
+    from brdfnerf_tpu.render.render import _resample_axis1
+    a = jnp.asarray(np.random.RandomState(0).rand(4, 8).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_resample_axis1(a, 8)),
+                                  np.asarray(a))
+    up = np.asarray(_resample_axis1(a, 15))
+    np.testing.assert_allclose(up[:, 0], np.asarray(a)[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(up[:, -1], np.asarray(a)[:, -1], rtol=1e-6)
+    # 8 -> 15 doubles the resolution: odd stations are exact midpoints
+    mid = 0.5 * (np.asarray(a)[:, :-1] + np.asarray(a)[:, 1:])
+    np.testing.assert_allclose(up[:, 1::2], mid, rtol=1e-5)
+    # a linear ramp resamples to a linear ramp at any count
+    ramp = jnp.linspace(0.0, 1.0, 8)[None, :]
+    out = np.asarray(_resample_axis1(ramp, 5))
+    np.testing.assert_allclose(out[0], np.linspace(0, 1, 5), atol=1e-6)
+
+
 def test_multibrdf_requires_normal(store):
     """apply_brdf with normal='none' raises a clear config error instead of
     an AttributeError deep in the BRDF math."""
@@ -341,3 +408,63 @@ def test_sc_pass_not_in_eval_program(store):
                                               train=False))(
         params, inp, jax.random.PRNGKey(0))
     assert "sun_sc_coarse" not in res
+
+
+def test_hotspot_observability_warning(store, tmp_path, capsys):
+    """Fitting RPV rhoc (funcH==1) or Hapke c on hotspot-free geometry
+    prints the observability warning (the round-3 inversion study measured
+    those parameters unrecoverable without a phase-angle~0 view); geometry
+    WITH a hotspot view, or configs not fitting them, stay silent."""
+    from synth_aoi import build_aoi, RPV_GT
+    from brdfnerf_tpu.analysis import (min_phase_angle_deg,
+                                       warn_unobservable_brdf_params)
+    from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+
+    # blessed satellite geometry: sun ~55 deg elevation, near-nadir views
+    # -> min phase far above the hotspot
+    g = min_phase_angle_deg(store["rays"])
+    assert g > 10.0, g
+
+    rpv = ModelConfig(variant="spsbrdf-nerf", func_m=True, func_f=True,
+                      func_h=1, normal="analystic", siren=True, mapping=True,
+                      layers=4, feat=64, skips=(2,))
+    hapke_c = ModelConfig(variant="spsbrdf-nerf", hapke_b=True, hapke_c=True,
+                          normal="analystic", siren=True, mapping=True,
+                          layers=4, feat=64, skips=(2,))
+    assert warn_unobservable_brdf_params(store["rays"], rpv)
+    assert warn_unobservable_brdf_params(store["rays"], hapke_c)
+    out = capsys.readouterr().out
+    assert "RPV rhoc" in out and "Hapke c" in out
+
+    # funcH==2 (rhoc := albedo, no head) and plain configs: silent
+    import dataclasses as dc
+    assert not warn_unobservable_brdf_params(store["rays"],
+                                             dc.replace(rpv, func_h=2))
+    assert not warn_unobservable_brdf_params(
+        store["rays"], ModelConfig(variant="s-nerf"))
+    # blender-style rays without sun columns: silent (nothing to measure)
+    assert not warn_unobservable_brdf_params(store["rays"][:, :8], rpv)
+
+    # a hotspot view drops the min phase under the threshold -> silent
+    aoi_h = build_aoi(str(tmp_path / "hot"), n_train=3, brdf=dict(RPV_GT),
+                      hotspot_view=True)
+    ds = SatelliteDataset(SatelliteConfig(root_dir=aoi_h["root"],
+                                          aoi_id=aoi_h["aoi_id"],
+                                          scene_loc_stride=2,
+                                          load_depth=False), split="train")
+    assert min_phase_angle_deg(ds.store["rays"]) < 10.0
+    capsys.readouterr()
+    assert not warn_unobservable_brdf_params(ds.store["rays"], rpv)
+    assert capsys.readouterr().out == ""
+
+    # and the Trainer wires it: constructing a run that fits rhoc on the
+    # hotspot-free store prints the warning once
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    cfg = RunConfig(model=rpv,
+                    render=RenderConfig(n_samples=8, guided_samples=8,
+                                        apply_brdf=True),
+                    train=TrainConfig(lr=1e-3, batch_size=128,
+                                      max_train_steps=10))
+    Trainer(cfg, store, TrainerPaths(logs_dir=str(tmp_path / "l"),
+                                     ckpts_dir=str(tmp_path / "c")), seed=0)
+    assert "[observability]" in capsys.readouterr().out
