@@ -314,7 +314,14 @@ def apply_ba_to_dataset(root_dir: str, ba_output_dir: str) -> int:
               f"nothing applied")
         return 0
     with open(paths_txt) as f:
-        basenames = [os.path.basename(l.strip()) for l in f if l.strip()]
+        paths = [l.strip() for l in f if l.strip()]
+    # sat-bundleadjust adjusts the PAN crops; the NeRF datasets consume
+    # the RGB crops — map the recorded paths like the reference before
+    # basename matching (generate_dataset.py:102-104), else every real
+    # BA run's keypoints would be silently dropped
+    paths = [p.replace("/pan_crops/", "/crops/") for p in paths]
+    paths = [p.replace("PAN.tif", "RGB.tif") for p in paths]
+    basenames = [os.path.basename(p) for p in paths]
     pts_ind = np.load(os.path.join(params_dir, "pts_ind.npy"))
     cam_ind = np.load(os.path.join(params_dir, "cam_ind.npy"))
     pts2d = np.load(os.path.join(params_dir, "pts2d.npy"))

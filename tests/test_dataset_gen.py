@@ -410,3 +410,151 @@ def test_run_ba_orchestration_roundtrip(aoi, tmp_path):
     adj = dg.adjusted_rpc_from_ba(ba2, "img_01")
     assert m1["rpc"] == adj          # NOT silently dropped
     assert "keypoints" not in m1
+
+
+def _rpcm_write_to_file_text(d) -> str:
+    """A .rpc_adj byte layout matching what sat-bundleadjust emits via
+    rpcm's RPCModel file writer (IKONOS text: unit-suffixed offsets/scales,
+    one COEFF line per index): generate_dataset.py:152-155 reads these with
+    rpcm.rpc_from_rpc_file.  Numeric spellings deliberately mix the
+    fixed-point and scientific forms real writers produce."""
+    def sci(v):
+        return f"{v:.16E}"
+    lines = [f"LINE_OFF: {d['row_offset']:+013.6f} pixels",
+             f"SAMP_OFF: {d['col_offset']:+013.6f} pixels",
+             f"LAT_OFF: {d['lat_offset']:+013.8f} degrees",
+             f"LONG_OFF: {d['lon_offset']:+013.8f} degrees",
+             f"HEIGHT_OFF: {d['alt_offset']:+09.3f} meters",
+             f"LINE_SCALE: {d['row_scale']:+013.6f} pixels",
+             f"SAMP_SCALE: {d['col_scale']:+013.6f} pixels",
+             f"LAT_SCALE: {d['lat_scale']:+013.8f} degrees",
+             f"LONG_SCALE: {d['lon_scale']:+013.8f} degrees",
+             f"HEIGHT_SCALE: {d['alt_scale']:+09.3f} meters"]
+    for pref, key in (("LINE_NUM_COEFF", "row_num"),
+                      ("LINE_DEN_COEFF", "row_den"),
+                      ("SAMP_NUM_COEFF", "col_num"),
+                      ("SAMP_DEN_COEFF", "col_den")):
+        for j, v in enumerate(d[key]):
+            lines.append(f"{pref}_{j + 1}: {sci(v)}")
+    return "\n".join(lines) + "\n"
+
+
+def test_ba_real_format_artifacts_to_training(tmp_path):
+    """VENDORED-GOLDEN bundle-adjust round trip (reference
+    generate_dataset.py:99-105,150-166 consumption contract): a ba_files/
+    tree hand-authored in sat-bundleadjust's REAL on-disk formats — NOT
+    written by this framework's writers — folds into an emitted dataset
+    and trains 50 sat-nerf steps with the keypoint depth loss active.
+
+    Real-world properties exercised:
+      - geotiff_paths.txt records the PAN crops on a foreign machine
+        (absolute /home/... paths, .../pan_crops/..._PAN.tif); the
+        reference maps them to the RGB crops before basename matching
+        (generate_dataset.py:102-104) and so must apply_ba_to_dataset.
+      - rpcs_adj/{rgb_id}.rpc_adj in rpcm's IKONOS text layout with unit
+        suffixes and mixed fixed/scientific numeric spellings.
+      - pts3d.npy in ECEF (pts3d_ba - global_transform), pts2d float64
+        (x, y) pixel pairs, pts_ind/cam_ind int64 — the npy quartet
+        create_dataset loads verbatim (generate_dataset.py:105-108).
+    """
+    import shutil
+    from synth_aoi import localize_affine
+    from brdfnerf_tpu.geo.geodesy import latlon_to_ecef
+    from brdfnerf_tpu.data.satellite import (SatelliteConfig,
+                                             SatelliteDataset)
+
+    src = build_aoi(str(tmp_path / "src"), n_train=3, n_test=1)
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    names = []
+    for i in range(4):
+        rgb = f"img_{i:02d}_RGB"
+        shutil.copyfile(os.path.join(src["root"], f"img_{i:02d}.tif"),
+                        os.path.join(root, rgb + ".tif"))
+        with open(os.path.join(src["root"], f"img_{i:02d}.json")) as f:
+            meta = json.load(f)
+        meta["img"] = rgb + ".tif"
+        with open(os.path.join(root, rgb + ".json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        names.append(rgb + ".json")
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names[:3]) + "\n")
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write(names[3] + "\n")
+
+    # ---- hand-authored BA output in the real formats
+    tilts = [(0.0, 0.0), (0.15, 0.05), (-0.1, 0.12), (0.05, -0.15)]
+    kp_c, kp_r = np.meshgrid(np.arange(4, W - 4, 5), np.arange(4, H - 4, 5))
+    lon, lat = localize_affine(affine_rpc_dict(),
+                               kp_c.ravel().astype(float),
+                               kp_r.ravel().astype(float), ALT0)
+    pts3d = np.stack(latlon_to_ecef(lat, lon, np.full(lon.shape, ALT0)), -1)
+    pts2d_l, cam_ind_l, pts_ind_l = [], [], []
+    for ci, tilt in enumerate(tilts):
+        rm = rpc_mod.rpc_from_dict(affine_rpc_dict(*tilt))
+        c2, r2 = rpc_mod.projection_np(rm, lon, lat,
+                                       np.full(lon.shape, ALT0))
+        pts2d_l.append(np.stack([c2, r2], -1))
+        cam_ind_l.append(np.full(lon.size, ci, np.int64))
+        pts_ind_l.append(np.arange(lon.size, dtype=np.int64))
+
+    ba = str(tmp_path / "ba_out")
+    params_dir = os.path.join(ba, "ba_files", "ba_params")
+    adj_dir = os.path.join(ba, "ba_files", "rpcs_adj")
+    os.makedirs(params_dir)
+    os.makedirs(adj_dir)
+    np.save(os.path.join(params_dir, "pts_ind.npy"),
+            np.concatenate(pts_ind_l))
+    np.save(os.path.join(params_dir, "cam_ind.npy"),
+            np.concatenate(cam_ind_l))
+    np.save(os.path.join(params_dir, "pts2d.npy"),
+            np.concatenate(pts2d_l).astype(np.float64))
+    np.save(os.path.join(params_dir, "pts3d.npy"), pts3d)
+    with open(os.path.join(params_dir, "geotiff_paths.txt"), "w") as f:
+        for i in range(4):
+            f.write(f"/home/lzhang/datasets/Dji/pan_crops/Dji_012/"
+                    f"img_{i:02d}_PAN.tif\n")
+    for i, tilt in enumerate(tilts):
+        with open(os.path.join(adj_dir, f"img_{i:02d}_RGB.rpc_adj"),
+                  "w") as f:
+            f.write(_rpcm_write_to_file_text(affine_rpc_dict(*tilt)))
+
+    # ---- fold + ingest + train
+    assert dg.apply_ba_to_dataset(root, ba) == 4
+    for i in range(4):
+        with open(os.path.join(root, f"img_{i:02d}_RGB.json")) as f:
+            m = json.load(f)
+        assert "keypoints" in m, i          # PAN->RGB mapping worked
+        assert len(m["keypoints"]["2d_coordinates"]) == lon.size
+        # rpc replaced by the adjusted one, offsets surviving the
+        # fixed-point spelling to 1e-6 px
+        assert abs(m["rpc"]["row_offset"]
+                   - affine_rpc_dict(*tilts[i])["row_offset"]) < 1e-5
+    assert os.path.exists(os.path.join(root, "pts3d.npy"))
+
+    cfg = SatelliteConfig(root_dir=root, aoi_id="Dji_012",
+                          scene_loc_stride=2, sparse_depth=True,
+                          load_depth=False)
+    ds = SatelliteDataset(cfg, split="train")
+    assert ds.depth_store is not None
+    assert ds.depth_store["rays"].shape[0] == 3 * lon.size
+    assert np.isfinite(ds.depth_store["depths"]).all()
+
+    from brdfnerf_tpu.config import (RenderConfig, TrainConfig, RunConfig)
+    from brdfnerf_tpu.models.network import model_config_for_variant
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    import dataclasses as dc
+    mcfg = dc.replace(model_config_for_variant("sat-nerf"),
+                      layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=0)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=50,
+                       ds_lambda=10.0, first_beta_epoch=0)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "l"),
+                         ckpts_dir=str(tmp_path / "c"))
+    tr = Trainer(RunConfig(model=mcfg, render=rcfg, train=tcfg), ds.store,
+                 paths, seed=0, depth_store=ds.depth_store)
+    assert tr.depth_batcher is not None
+    first = tr.fit(max_steps=6, log_every=1, progress=False)
+    last = tr.fit(max_steps=50, log_every=50, progress=False)
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"]
