@@ -16,11 +16,24 @@ indexing, so the whole pipeline stays inside one jitted program:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 from .compositing import depth_std
+
+# Auto-split bound for the inverse-CDF one-hot lookups: the gather-free
+# path materializes two (N, U, B+1) f32 one-hots + the i32 searchsorted
+# compare, i.e. 12 bytes per lane of transient HBM (measured/analytic
+# table: examples/results/sample_pdf_memory.json).  Above this many lanes
+# the lookup runs as a lax.map over row blocks — strictly sequential, so
+# peak transient stays at one block (~384 MB at the default bound).
+# Production training (1024x64x65 = 4.2M lanes) and the serving chunk at
+# guided 64 (5120x64x65 = 21M) stay single-block; 128+ importance draws
+# at serving chunks split.  Override with BRDFNERF_SAMPLE_PDF_MAX_ELEMS.
+_MAX_LOOKUP_ELEMS = int(os.environ.get("BRDFNERF_SAMPLE_PDF_MAX_ELEMS",
+                                       str(1 << 25)))
 
 
 def stratified_z_vals(key, n_samples: int, near, far,
@@ -44,10 +57,16 @@ def stratified_z_vals(key, n_samples: int, near, far,
 
 
 def sample_pdf(key, bins, weights, n_importance: int,
-               det: bool = False, eps: float = 1e-5):
+               det: bool = False, eps: float = 1e-5,
+               max_lookup_elems: int = None):
     """Inverse-CDF sampling of a histogram.
 
     bins: (N, B+1) edges; weights: (N, B). Returns (N, n_importance).
+    Rows are independent, so when the (N, U, B+1) lookup transient would
+    exceed max_lookup_elems lanes (default _MAX_LOOKUP_ELEMS) the lookup
+    runs sequentially over power-of-two row blocks — same math on the
+    same rows (equal to within one ulp: the lax.map body compiles as its
+    own program, whose fusion/FMA choices may differ), bounded peak HBM.
     """
     n_rays, n_bins = weights.shape
     weights = weights + eps
@@ -61,6 +80,27 @@ def sample_pdf(key, bins, weights, n_importance: int,
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
+    if max_lookup_elems is None:
+        max_lookup_elems = _MAX_LOOKUP_ELEMS
+    total = n_rays * n_importance * (n_bins + 1)
+    k = 1
+    while total // k > max_lookup_elems and n_rays % (2 * k) == 0:
+        k *= 2
+    if k > 1:
+        blk = n_rays // k
+        out = jax.lax.map(
+            lambda args: _inv_cdf_lookup(*args, n_bins=n_bins, eps=eps),
+            (cdf.reshape(k, blk, n_bins + 1),
+             bins.reshape(k, blk, n_bins + 1),
+             u.reshape(k, blk, n_importance)))
+        return out.reshape(n_rays, n_importance)
+    return _inv_cdf_lookup(cdf, bins, u, n_bins=n_bins, eps=eps)
+
+
+def _inv_cdf_lookup(cdf, bins, u, n_bins: int, eps: float):
+    """The (N, U, B+1) searchsorted + one-hot interpolation block of
+    sample_pdf, row-independent (factored out so sample_pdf can bound its
+    transient HBM by mapping over row blocks)."""
     # searchsorted(cdf, u, side='right') == #(cdf <= u): a broadcasted
     # compare + sum ((N, U, B+1), ~4M lanes at production sizes) runs in
     # microseconds on the VPU, where vmapped binary search lowered to

@@ -138,3 +138,30 @@ def test_fast_sin_accuracy():
     g = jax.vmap(jax.grad(lambda v: fast_sin(v)))(x[:1000])
     derr = np.abs(np.asarray(g) - np.cos(np.asarray(x[:1000], np.float64)))
     assert derr.max() < 1e-3, derr.max()
+
+
+def test_sample_pdf_blocked_lookup_equal():
+    """The HBM-bounding row-block split of the inverse-CDF lookup
+    (ops/sampling.py _MAX_LOOKUP_ELEMS auto-split) reproduces the
+    single-block path to one ulp (rows are independent; the lax.map body
+    compiles separately, so fusion/FMA choices may differ by 1 ulp) —
+    under jit and eager, det and stochastic draws, and when n_rays is not
+    a power of two (splits stop at the largest power-of-two divisor)."""
+    from brdfnerf_tpu.ops.sampling import sample_pdf
+    rng = np.random.RandomState(0)
+    for n_rays in (256, 192):                # 192 = 64 * 3: k caps at 64
+        bins = jnp.asarray(np.sort(rng.rand(n_rays, 65), axis=1)
+                           .astype(np.float32))
+        w = jnp.asarray(rng.rand(n_rays, 64).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        for det in (True, False):
+            ref = sample_pdf(key, bins, w, 64, det=det,
+                             max_lookup_elems=1 << 30)
+            split = sample_pdf(key, bins, w, 64, det=det,
+                               max_lookup_elems=4096)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(split),
+                                       atol=1.5e-7, rtol=0)
+            jitted = jax.jit(lambda k, b, ww: sample_pdf(
+                k, b, ww, 64, det=det, max_lookup_elems=4096))
+            np.testing.assert_allclose(np.asarray(jitted(key, bins, w)),
+                                       np.asarray(ref), atol=1.5e-7, rtol=0)
