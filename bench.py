@@ -59,6 +59,11 @@ def main():
     import optax
 
     mcfg, rcfg, tcfg = _flagship_configs(n_samples=N_SAMPLES, guided=GUIDED)
+    if os.environ.get("BENCH_SUN_MARCH"):
+        # A/B the sun-march sample count (0 = reference intent N_samples,
+        # -1 = merged final count = rounds 1-3 behavior; BASELINE.md)
+        rcfg = dc.replace(rcfg, sun_march_samples=int(
+            os.environ["BENCH_SUN_MARCH"]))
     key = jax.random.PRNGKey(0)
     state, opt = create_train_state(key, mcfg, tcfg, steps_per_epoch=10000)
 
