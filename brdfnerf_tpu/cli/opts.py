@@ -185,6 +185,29 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = single device; N builds "
                         "a 1-D ray-sharding mesh over the first N devices)")
+    p.add_argument("--sharded_store", type=int, default=0, choices=[0, 1],
+                   help="shard the device ray store over the mesh 'data' "
+                        "axis (1/N of the rays + HBM per device, per-shard "
+                        "stratified minibatch draws) instead of "
+                        "replicating it; needs --n_devices > 1")
+    p.add_argument("--scale_global_batch", type=int, default=0,
+                   choices=[0, 1],
+                   help="N-chip scaled-batch data parallelism: global "
+                        "batch = batch_size * n_devices (per-device batch "
+                        "stays at batch_size) with linear lr scaling")
+    p.add_argument("--lr_warmup_steps", type=int, default=0,
+                   help="linear lr warmup steps from lr/10 (0 = off; -1 = "
+                        "two epochs). --scale_global_batch turns the "
+                        "2-epoch auto warmup on by itself (Goyal et al. "
+                        "gradual warmup for the linear-scaling rule)")
+    p.add_argument("--sun_march_samples", type=int, default=0,
+                   help="analytic sun-visibility march sample count: 0 = "
+                        "reference intent (N_samples; rendering.py:251-253 "
+                        "marches N_samples and this framework fixes its "
+                        "downstream shape error by resampling the "
+                        "transparency onto the final axis); -1 = the merged "
+                        "final count (rounds 1-3 behavior, ~2x the march "
+                        "FLOPs); any positive int = explicit count")
     return p
 
 
@@ -273,6 +296,7 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         apply_brdf=bool(brdf_requested and args.brdf_on < 1.0),
         apply_theta=bool(brdf_requested and args.brdf_on < 0.5),
         gsam_only=args.gsam_only,
+        sun_march_samples=getattr(args, "sun_march_samples", 0),
         normal_at_surface=bool(getattr(args, "normal_at_surface", False)),
         fused_trunk=bool(_backend_default(
             getattr(args, "fused_trunk", None))),
@@ -289,6 +313,7 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         nr_reg_an_lambda=args.nr_reg_an_lambda,
         nr_reg_lr_lambda=args.nr_reg_lr_lambda,
         nr_spv_lambda=args.nr_spv_lambda, nr_spv_type=args.nr_spv_type,
+        lr_warmup_steps=getattr(args, "lr_warmup_steps", 0),
         hs_lambda=args.hs_lambda, first_beta_epoch=args.first_beta_epoch,
         brdf_on=args.brdf_on, nrrg_on=args.nrrg_on,
         cos_irra_on=args.cos_irra_on, gsam_only_on=args.gsam_only_on)

@@ -70,7 +70,10 @@ def main(argv=None):
                       freeze=freeze, visu_scale=args.visu_scale,
                       save_first_n_visu=args.save_first_n_visu,
                       save_visu_every_n_epochs=args.save_visu_every_n_epochs,
-                      test_sun_v=bool(args.test_sun_v))
+                      test_sun_v=bool(args.test_sun_v),
+                      sharded_store=bool(getattr(args, "sharded_store", 0)),
+                      scale_global_batch=bool(
+                          getattr(args, "scale_global_batch", 0)))
     trainer.eval_chunk = args.chunk
     trainer.fit(eval_every_n_epochs=args.eval_every_n_epochs,
                 save_ckpt_every_n_epochs=args.save_ckpt_every_n_epochs,

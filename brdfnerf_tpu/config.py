@@ -207,6 +207,12 @@ class TrainConfig:
     max_train_steps: int = 300000        # opt.py:162-163
     lr_scheduler: str = "step"           # StepLR gamma=0.9/epoch (train_utils.py:153-155)
     lr_gamma: float = 0.9
+    # linear lr warmup (0 = off; -1 = auto, 2 epochs): used by the
+    # scaled-global-batch mode, where jumping straight to the linearly
+    # scaled lr loses ~1.6 dB/equal-epochs vs batch-1024 on the bumpy AOI
+    # (examples/results/scaled_batch_convergence.json) — gradual warmup
+    # is the standard companion of the linear-scaling rule (Goyal et al.)
+    lr_warmup_steps: int = 0
     # loss weights
     lambda_rgb: float = 1.0              # opt.py:186-187
     sc_lambda: float = 0.0               # opt.py:188-189

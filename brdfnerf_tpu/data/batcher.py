@@ -125,9 +125,12 @@ class ShardedRayBatcher:
     """
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
-                 mesh, seed: int = 0, axis: str = "data"):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+                 mesh, seed: int = 0, axis: str = "data",
+                 place: bool = True):
+        """place=False skips the device placement and keeps the (padded)
+        store host-side — for index-sequence-only uses (a canonical draw
+        generator, replicated-replay tests); `mesh` then only needs a
+        `.shape[axis]` shard count."""
         n = {k: v.shape[0] for k, v in arrays.items()}
         sizes = set(n.values())
         assert len(sizes) == 1, f"ragged ray store: {n}"
@@ -142,12 +145,15 @@ class ShardedRayBatcher:
         self.batch_size = batch_size
         self.shard_size = -(-self.n // d)          # ceil
         pad = self.shard_size * d - self.n
-        sh = NamedSharding(mesh, P(axis))
         self._store = {}
-        for k, v in arrays.items():
-            if pad:
-                v = np.concatenate([v, v[:pad]], axis=0)
-            self._store[k] = jax.device_put(v, sh)
+        if place:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(axis))
+            for k, v in arrays.items():
+                if pad:
+                    v = np.concatenate([v, v[:pad]], axis=0)
+                self._store[k] = jax.device_put(v, sh)
         self.rng = np.random.default_rng(seed)
         self._perms = self._new_perms()
         self._pos = 0

@@ -70,10 +70,23 @@ class TrainState(NamedTuple):
 
 def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
     """Adam + per-epoch StepLR gamma=0.9 (main.py:147-168,
-    train_utils.py:153-155), as an optax exponential staircase."""
+    train_utils.py:153-155), as an optax exponential staircase.
+
+    tcfg.lr_warmup_steps > 0 (or -1 = two epochs) prepends a linear ramp
+    from lr/10 to lr — the gradual-warmup companion of the
+    scaled-global-batch mode's linear lr scaling; the staircase then
+    decays from the end of the ramp."""
     sched = optax.exponential_decay(
         init_value=tcfg.lr, transition_steps=max(1, steps_per_epoch),
         decay_rate=tcfg.lr_gamma, staircase=True)
+    warm = tcfg.lr_warmup_steps
+    if warm == -1:
+        warm = 2 * max(1, steps_per_epoch)
+    if warm > 0:
+        ramp = optax.linear_schedule(init_value=tcfg.lr * 0.1,
+                                     end_value=tcfg.lr,
+                                     transition_steps=warm)
+        sched = optax.join_schedules([ramp, sched], boundaries=[warm])
     return optax.adam(learning_rate=sched), sched
 
 

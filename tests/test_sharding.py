@@ -294,3 +294,156 @@ def test_trainer_with_mesh(tmp_path):
     last = tr.fit(max_steps=20, log_every=20, progress=False)
     assert np.isfinite(last["loss"])
     assert last["loss"] < first["loss"]
+
+
+def test_sharded_store_matches_replicated_store():
+    """The 'data'-SHARDED ray store (ShardedRayBatcher + shard_map local
+    gather, 1/D of the rays per device) reproduces the replicated-store
+    trajectory bitwise when the replicated run replays the same draws via
+    global_indices — fused single step AND the production scan-chunked
+    step. Store size is deliberately NOT divisible by 8 to exercise the
+    wrap padding."""
+    import optax
+    from brdfnerf_tpu.data.batcher import ShardedRayBatcher
+    from brdfnerf_tpu.parallel.train_step import (
+        make_fused_train_step, make_scan_train_step, GateSchedule,
+        TrainState)
+    mcfg, rcfg, tcfg = _cfg()
+    store_np = _batch(509)                   # 509 % 8 != 0 -> padded
+    base_key = jax.random.PRNGKey(5)
+    sched = GateSchedule(t_cos_irra=0.0, t_ds_drop=1e9, t_nrrg=-1.0,
+                         steps_per_epoch=100, first_beta_epoch=0)
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8)
+
+    def fresh_state():
+        st, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+        return TrainState(st.params, opt.init(st.params), st.step)
+
+    sb = ShardedRayBatcher(store_np, 128, mesh, seed=3)
+    assert sb.shard_size == 64 and sb.local_batch == 16
+    padded = sb.padded_arrays(store_np)
+
+    # 4 steps, fused single-step path
+    step_sh = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched,
+                                    mesh=mesh, store_sharded=True)
+    step_re = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched, mesh=mesh)
+    s_sh = replicate(mesh, fresh_state())
+    s_re = replicate(mesh, fresh_state())
+    locs = [sb.next_indices() for _ in range(4)]
+    for loc in locs:
+        glob = sb.global_indices(loc).astype(np.int32)
+        s_sh, m_sh = step_sh(s_sh, sb.store, loc, base_key)
+        s_re, m_re = step_re(s_re, padded, glob, base_key)
+        assert float(m_sh["loss"]) == float(m_re["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh.params),
+                    jax.tree_util.tree_leaves(s_re.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # scan-chunked (4 steps, one dispatch) — the production loop's path
+    scan_sh = make_scan_train_step(mcfg, rcfg, tcfg, opt, sched,
+                                   mesh=mesh, store_sharded=True)
+    idx_mat = np.stack(locs)
+    s2, m2 = scan_sh(replicate(mesh, fresh_state()), sb.store, idx_mat,
+                     base_key)
+    assert int(s2.step) == 4
+    # scan-vs-loop is near-exact, not bitwise: the scan body fuses
+    # differently in XLA, and Adam's rsqrt amplifies the ~1e-8 gradient
+    # rounding into ~1e-5 parameter noise over 4 steps
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=5e-3)
+
+
+def test_sharded_batcher_epoch_semantics():
+    """Per-shard draws are without replacement: over one local epoch each
+    shard visits each of its rows exactly once, and the batch layout is D
+    contiguous per-shard blocks."""
+    from brdfnerf_tpu.data.batcher import ShardedRayBatcher
+    mesh = make_mesh(8)
+    store = {"rays": np.arange(512 * 2, dtype=np.float32).reshape(512, 2)}
+    sb = ShardedRayBatcher(store, 64, mesh, seed=0)
+    assert sb.steps_per_epoch == 8
+    seen = [[] for _ in range(8)]
+    for _ in range(sb.steps_per_epoch):
+        loc = sb.next_indices()
+        blocks = loc.reshape(8, 8)
+        for d in range(8):
+            seen[d].extend(blocks[d].tolist())
+    for d in range(8):
+        assert sorted(seen[d]) == list(range(64)), d
+    # global_indices maps block d into [d*shard, (d+1)*shard)
+    loc = sb.next_indices()
+    glob = sb.global_indices(loc)
+    for d in range(8):
+        blk = glob.reshape(8, 8)[d]
+        assert ((blk >= d * 64) & (blk < (d + 1) * 64)).all()
+
+
+def test_trainer_sharded_store_and_scaled_batch(tmp_path):
+    """Trainer end-to-end on the mesh with sharded_store +
+    scale_global_batch: global batch = batch_size * 8, lr scaled 8x,
+    training runs and the loss drops."""
+    from brdfnerf_tpu.config import RunConfig
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    mcfg, rcfg, tcfg = _cfg()
+    import dataclasses as dc
+    tcfg = dc.replace(tcfg, batch_size=64, max_train_steps=20)
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    store = _batch(2048)
+    store["normals"] = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32),
+                               (2048, 1))
+    store["valid_normal"] = np.ones(2048, np.float32)
+    mesh = make_mesh(8)
+    paths = TrainerPaths(logs_dir=str(tmp_path / "logs"),
+                         ckpts_dir=str(tmp_path / "ckpts"))
+    tr = Trainer(cfg, store, paths, mesh=mesh, sharded_store=True,
+                 scale_global_batch=True)
+    assert tr.cfg.train.batch_size == 64 * 8
+    assert abs(tr.cfg.train.lr - tcfg.lr * 8) < 1e-12
+    assert tr.batcher.local_batch == 64
+    m = tr.fit(max_steps=20, log_every=5, eval_every_n_epochs=10 ** 9,
+               save_ckpt_every_n_epochs=10 ** 9, progress=False)
+    assert np.isfinite(m["loss"])
+    # and the scan-chunked production loop on the sharded store
+    tr2 = Trainer(cfg, store, paths, mesh=mesh, sharded_store=True,
+                  seed=1)
+    m2 = tr2.fit(max_steps=16, log_every=100, eval_every_n_epochs=10 ** 9,
+                 save_ckpt_every_n_epochs=10 ** 9, progress=False,
+                 scan_chunk=8)
+    assert np.isfinite(m2["loss"])
+
+
+def test_scaled_batch_lr_warmup():
+    """scale_global_batch turns on the 2-epoch linear warmup (Goyal et
+    al. gradual warmup for the linear-scaling rule): the schedule ramps
+    lr/10 -> lr over 2 epochs, then the per-epoch staircase decays from
+    the ramp's end.  Measured need: without warmup the 8192-batch run
+    loses ~1.6 dB/equal-epochs vs batch-1024
+    (examples/results/scaled_batch_convergence.json)."""
+    import dataclasses as dc
+    from brdfnerf_tpu.config import RunConfig, TrainConfig
+    from brdfnerf_tpu.parallel.train_step import make_optimizer
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    import tempfile
+
+    t = TrainConfig(lr=8e-3, lr_warmup_steps=-1)
+    _, sched = make_optimizer(t, steps_per_epoch=9)
+    assert abs(float(sched(0)) - 8e-4) < 1e-7          # lr/10 at step 0
+    assert abs(float(sched(18)) - 8e-3) < 1e-7         # full lr after 2 ep
+    assert float(sched(27)) < 8e-3                     # staircase resumed
+    # no warmup by default
+    _, s2 = make_optimizer(TrainConfig(lr=8e-3), 9)
+    assert abs(float(s2(0)) - 8e-3) < 1e-7
+
+    mcfg, rcfg, tcfg = _cfg()
+    tcfg = dc.replace(tcfg, batch_size=64, max_train_steps=8)
+    mesh = make_mesh(8)
+    store = _batch(1024)
+    with tempfile.TemporaryDirectory() as td:
+        tr = Trainer(RunConfig(model=mcfg, render=rcfg, train=tcfg), store,
+                     TrainerPaths(logs_dir=td + "/l", ckpts_dir=td + "/c"),
+                     mesh=mesh, scale_global_batch=True)
+        assert tr.cfg.train.lr_warmup_steps == -1
+        assert tr.cfg.train.batch_size == 64 * 8
