@@ -1,0 +1,120 @@
+"""Scaled-global-batch data parallelism: per-epoch convergence evidence.
+
+The N-chip scaled-batch mode (--scale_global_batch) multiplies the global
+batch by the mesh size (each device keeps the single-chip per-device
+batch = full MXU utilization) and scales the lr linearly (Goyal et al.).
+This experiment backs the BASELINE.md claim that a global-batch-8192 run
+converges comparably PER EPOCH to the blessed batch-1024 run:
+
+  leg A (baseline): batch 1024 on an 8-device mesh (replicated store,
+        each device sees 128 rays/step — the round-3 status quo),
+        8x more steps so both legs see the same number of epochs.
+  leg B (scaled):   batch 8192 = 1024 x 8 via --scale_global_batch +
+        --sharded_store (1/8 of the rays + HBM per device), lr x 8,
+        200 steps.
+
+Both legs train the same spsbrdf config on the same bumpy synthetic AOI
+from the same init, and report train loss/psnr at equal-epoch points plus
+a held-out validation PSNR.
+
+Run (CPU mesh):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python examples/scaled_batch_convergence.py
+Output: one JSON blob; recorded in examples/results/ and BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+from brdfnerf_tpu.config import (ModelConfig, RenderConfig, TrainConfig,
+                                 RunConfig)
+from brdfnerf_tpu.data.satellite import SatelliteConfig, SatelliteDataset
+from brdfnerf_tpu.data.synth_aoi import build_aoi
+from brdfnerf_tpu.parallel.mesh import make_mesh
+from brdfnerf_tpu.train import Trainer, TrainerPaths
+
+
+def run_leg(tag, cfg, store, val_ds, mesh, out_dir, steps, scan_chunk,
+            **trainer_kw):
+    paths = TrainerPaths(logs_dir=os.path.join(out_dir, tag, "logs"),
+                         ckpts_dir=os.path.join(out_dir, tag, "ckpts"))
+    tr = Trainer(cfg, store, paths, mesh=mesh, seed=0, val_dataset=val_ds,
+                 **trainer_kw)
+    t0 = time.perf_counter()
+    last = tr.fit(max_steps=steps, log_every=max(1, steps // 10),
+                  eval_every_n_epochs=10 ** 9,
+                  save_ckpt_every_n_epochs=10 ** 9, progress=False,
+                  scan_chunk=scan_chunk)
+    dt = time.perf_counter() - t0
+    scal = tr.validate(epoch=0)
+    val_psnr = max(v for k, v in scal.items() if k.startswith("val/psnr"))
+    return {"steps": steps, "global_batch": tr.cfg.train.batch_size,
+            "lr": tr.cfg.train.lr,
+            "steps_per_epoch": tr.batcher.steps_per_epoch,
+            "epochs": steps / tr.batcher.steps_per_epoch,
+            "final_loss": float(last["loss"]),
+            "final_psnr": float(last["psnr"]),
+            "val_psnr": float(val_psnr), "wall_s": dt}
+
+
+def main():
+    out_dir = os.path.join("/tmp", "scaled_batch_conv")
+    aoi = build_aoi(os.path.join(out_dir, "aoi"), bumpy=True, size=192)
+    dcfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                           scene_loc_stride=2)
+    store = SatelliteDataset(dcfg, split="train").store
+    val_ds = SatelliteDataset(dcfg, split="val")
+    n = store["rays"].shape[0]
+
+    mesh = make_mesh(8)
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       normal="analystic", func_m=True, func_f=True,
+                       func_h=1, layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8, apply_brdf=True)
+    base_steps = int(os.environ.get("SBC_BASE_STEPS", "1600"))
+    scaled_steps = base_steps // 8
+    tcfg = TrainConfig(lr=1e-3, batch_size=1024, max_train_steps=base_steps,
+                       ds_lambda=10.0, brdf_on=0.0)
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+
+    # leg A: blessed global batch 1024, 8-dev mesh (store replicated)
+    a = run_leg("base1024", cfg, store, val_ds, mesh, out_dir,
+                steps=base_steps, scan_chunk=16)
+    print(f"[A] batch {a['global_batch']}: {a['epochs']:.1f} epochs, "
+          f"loss {a['final_loss']:.4f}, val PSNR {a['val_psnr']:.2f}",
+          flush=True)
+
+    # leg B: scaled global batch 8192 (= 1024 x 8), lr x 8, sharded store
+    import dataclasses as dc
+    cfg_b = dc.replace(cfg, train=dc.replace(tcfg,
+                                             max_train_steps=scaled_steps))
+    b = run_leg("scaled8192", cfg_b, store, val_ds, mesh, out_dir,
+                steps=scaled_steps, scan_chunk=8,
+                sharded_store=True, scale_global_batch=True)
+    print(f"[B] batch {b['global_batch']}: {b['epochs']:.1f} epochs, "
+          f"loss {b['final_loss']:.4f}, val PSNR {b['val_psnr']:.2f}",
+          flush=True)
+
+    out = {"n_rays": int(n), "devices": int(mesh.size),
+           "config": "spsbrdf 4x64, 8+8 samples, bumpy AOI 192px",
+           "baseline_1024": a, "scaled_8192": b,
+           "val_psnr_delta": b["val_psnr"] - a["val_psnr"]}
+    print(json.dumps(out, indent=2))
+    res_dir = os.path.join(REPO, "examples", "results")
+    os.makedirs(res_dir, exist_ok=True)
+    with open(os.path.join(res_dir, "scaled_batch_convergence.json"),
+              "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

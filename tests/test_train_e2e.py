@@ -396,3 +396,54 @@ def test_normal_at_surface_accel(tmp_path):
     # shape recovered well below the +/-15 m bump amplitude (seed spread
     # 7-9.2 m at this step count)
     assert mae < BUMP_AMP * 0.75, mae
+
+
+def test_normal_at_surface_fidelity_bound(tmp_path):
+    """Seed-AVERAGED comparative bound on the normal_at_surface DSM
+    degradation (the deviation BASELINE.md documents as ~2x MAE on
+    high-relief terrain).  A single-seed comparison at this scale is seed
+    luck (per-seed surf MAE spreads 5.9-8.1 m; see
+    test_normal_at_surface_accel), but the 2-seed MEANS are stable enough
+    to bound: measured exact means 3.69-4.11 m (tight), surf means
+    6.6-7.7 m, ratios 1.7-2.1 across seed subsets — so a 2.9x bound on
+    the mean ratio catches a real fidelity regression of either mode
+    while staying outside seed noise."""
+    from synth_aoi import build_aoi, BUMP_AMP
+    aoi = build_aoi(str(tmp_path / "nsurf_bound"), bumpy=True)
+    cfg = SatelliteConfig(root_dir=aoi["root"], aoi_id=aoi["aoi_id"],
+                          scene_loc_stride=2)
+    train_ds = SatelliteDataset(cfg, split="train")
+    val_ds = SatelliteDataset(cfg, split="val")
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       layers=4, feat=64, skips=(2,), normal="analystic",
+                       func_m=True, func_f=True, func_h=1)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, max_train_steps=150,
+                       ds_lambda=10.0, brdf_on=0.0, nr_reg_an_lambda=0.1)
+
+    def mean_mae(surf):
+        maes = []
+        for seed in (0, 1):
+            rcfg = RenderConfig(n_samples=8, guided_samples=8,
+                                apply_brdf=True, normal_at_surface=surf)
+            pth = TrainerPaths(
+                logs_dir=str(tmp_path / f"l_{surf}_{seed}"),
+                ckpts_dir=str(tmp_path / f"c_{surf}_{seed}"),
+                gt_dir=aoi["gt_dir"], aoi_id=aoi["aoi_id"])
+            tr = Trainer(RunConfig(model=mcfg, render=rcfg, train=tcfg),
+                         train_ds.store, pth, val_dataset=val_ds, seed=seed)
+            tr.fit(max_steps=150, log_every=150, eval_every_n_epochs=1000,
+                   progress=False, scan_chunk=16)
+            scal = tr.validate(epoch=1)
+            maes.append(min(v for k, v in scal.items()
+                            if "mae_" in k and "nr" not in k))
+        return float(np.mean(maes))
+
+    exact, surf = mean_mae(False), mean_mae(True)
+    # exact mode holds its measured band (regression guard on the
+    # per-sample-normal path itself)
+    assert exact < 5.0, exact
+    # the acceleration's degradation stays bounded: measured mean ratio
+    # 1.7-2.1 across seed subsets; 2.9 = regression alarm, not seed noise
+    assert surf < 2.9 * exact, (surf, exact)
+    # and both recover shape well inside the +/-15 m bump amplitude
+    assert surf < BUMP_AMP * 0.75, surf
