@@ -207,7 +207,8 @@ class TrainConfig:
     max_train_steps: int = 300000        # opt.py:162-163
     lr_scheduler: str = "step"           # StepLR gamma=0.9/epoch (train_utils.py:153-155)
     lr_gamma: float = 0.9
-    # linear lr warmup (0 = off; -1 = auto, 2 epochs): used by the
+    # linear lr warmup (0 = off; -1 = auto, 2 epochs; -2 = explicitly
+    # off even when scale_global_batch would auto-enable it): used by the
     # scaled-global-batch mode, where jumping straight to the linearly
     # scaled lr loses ~1.6 dB/equal-epochs vs batch-1024 on the bumpy AOI
     # (examples/results/scaled_batch_convergence.json) — gradual warmup

@@ -82,6 +82,8 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
     warm = tcfg.lr_warmup_steps
     if warm == -1:
         warm = 2 * max(1, steps_per_epoch)
+    elif warm < 0:          # -2 = explicitly off (overrides the
+        warm = 0            # scaled-global-batch auto-enable)
     if warm > 0:
         ramp = optax.linear_schedule(init_value=tcfg.lr * 0.1,
                                      end_value=tcfg.lr,

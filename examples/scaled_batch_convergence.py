@@ -8,12 +8,15 @@ converges comparably PER EPOCH to the blessed batch-1024 run:
 
   leg A (baseline): batch 1024 on an 8-device mesh (replicated store,
         each device sees 128 rays/step — the round-3 status quo),
-        8x more steps so both legs see the same number of epochs.
-  leg B (scaled):   batch 8192 = 1024 x 8 via --scale_global_batch +
-        --sharded_store (1/8 of the rays + HBM per device), lr x 8,
-        200 steps.
+        8x more steps so all legs see the same number of epochs.
+  leg B (scaled, no warmup): batch 8192 = 1024 x 8 via
+        --scale_global_batch + --sharded_store (1/8 of the rays + HBM
+        per device), lr x 8, 200 steps, warmup disabled — measures the
+        raw large-batch gap (Goyal et al. fig. 1 analog).
+  leg C (scaled + warmup): same, with the 2-epoch linear lr warmup that
+        --scale_global_batch now enables by default.
 
-Both legs train the same spsbrdf config on the same bumpy synthetic AOI
+All legs train the same spsbrdf config on the same bumpy synthetic AOI
 from the same init, and report train loss/psnr at equal-epoch points plus
 a held-out validation PSNR.
 
@@ -93,21 +96,29 @@ def main():
           f"loss {a['final_loss']:.4f}, val PSNR {a['val_psnr']:.2f}",
           flush=True)
 
-    # leg B: scaled global batch 8192 (= 1024 x 8), lr x 8, sharded store
+    # legs B/C: scaled global batch 8192 (= 1024 x 8), lr x 8, sharded
+    # store — without (lr_warmup_steps=-2) and with the default 2-epoch
+    # linear warmup
     import dataclasses as dc
-    cfg_b = dc.replace(cfg, train=dc.replace(tcfg,
-                                             max_train_steps=scaled_steps))
-    b = run_leg("scaled8192", cfg_b, store, val_ds, mesh, out_dir,
-                steps=scaled_steps, scan_chunk=8,
-                sharded_store=True, scale_global_batch=True)
-    print(f"[B] batch {b['global_batch']}: {b['epochs']:.1f} epochs, "
-          f"loss {b['final_loss']:.4f}, val PSNR {b['val_psnr']:.2f}",
-          flush=True)
+    legs = {}
+    for tag, warm in (("scaled_8192_no_warmup", -2), ("scaled_8192", 0)):
+        cfg_i = dc.replace(cfg, train=dc.replace(
+            tcfg, max_train_steps=scaled_steps, lr_warmup_steps=warm))
+        legs[tag] = run_leg(tag, cfg_i, store, val_ds, mesh, out_dir,
+                            steps=scaled_steps, scan_chunk=8,
+                            sharded_store=True, scale_global_batch=True)
+        b = legs[tag]
+        print(f"[{tag}] batch {b['global_batch']}: {b['epochs']:.1f} "
+              f"epochs, loss {b['final_loss']:.4f}, val PSNR "
+              f"{b['val_psnr']:.2f}", flush=True)
 
     out = {"n_rays": int(n), "devices": int(mesh.size),
            "config": "spsbrdf 4x64, 8+8 samples, bumpy AOI 192px",
-           "baseline_1024": a, "scaled_8192": b,
-           "val_psnr_delta": b["val_psnr"] - a["val_psnr"]}
+           "baseline_1024": a, **legs,
+           "val_psnr_delta_no_warmup":
+               legs["scaled_8192_no_warmup"]["val_psnr"] - a["val_psnr"],
+           "val_psnr_delta_warmup":
+               legs["scaled_8192"]["val_psnr"] - a["val_psnr"]}
     print(json.dumps(out, indent=2))
     res_dir = os.path.join(REPO, "examples", "results")
     os.makedirs(res_dir, exist_ok=True)

@@ -436,6 +436,14 @@ def test_scaled_batch_lr_warmup():
     # no warmup by default
     _, s2 = make_optimizer(TrainConfig(lr=8e-3), 9)
     assert abs(float(s2(0)) - 8e-3) < 1e-7
+    # -2 = explicitly off (the ablation opt-out that overrides the
+    # scaled-global-batch auto-enable; examples/scaled_batch_convergence.py)
+    _, s3 = make_optimizer(TrainConfig(lr=8e-3, lr_warmup_steps=-2), 9)
+    assert abs(float(s3(0)) - 8e-3) < 1e-7
+    # explicit positive count ramps over exactly that many steps
+    _, s4 = make_optimizer(TrainConfig(lr=8e-3, lr_warmup_steps=4), 9)
+    assert abs(float(s4(0)) - 8e-4) < 1e-7
+    assert abs(float(s4(4)) - 8e-3) < 1e-7
 
     mcfg, rcfg, tcfg = _cfg()
     tcfg = dc.replace(tcfg, batch_size=64, max_train_steps=8)
