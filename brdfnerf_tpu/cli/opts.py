@@ -196,10 +196,13 @@ def train_parser() -> argparse.ArgumentParser:
                         "batch = batch_size * n_devices (per-device batch "
                         "stays at batch_size) with linear lr scaling")
     p.add_argument("--lr_warmup_steps", type=int, default=0,
-                   help="linear lr warmup steps from lr/10 (0 = off; -1 = "
-                        "two epochs). --scale_global_batch turns the "
-                        "2-epoch auto warmup on by itself (Goyal et al. "
-                        "gradual warmup for the linear-scaling rule)")
+                   help="linear lr warmup steps from lr/10 (0 = off, the "
+                        "default; -1 = two epochs; positive = explicit "
+                        "count). Opt-in even under --scale_global_batch: "
+                        "the measured lr-rule grid (BASELINE.md) found "
+                        "warmup costs ~2 dB at equal epochs at the tested "
+                        "horizon; reach for it only if the linearly "
+                        "scaled lr destabilizes on a larger mesh")
     p.add_argument("--sun_march_samples", type=int, default=0,
                    help="analytic sun-visibility march sample count: 0 = "
                         "reference intent (N_samples; rendering.py:251-253 "

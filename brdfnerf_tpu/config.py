@@ -207,12 +207,15 @@ class TrainConfig:
     max_train_steps: int = 300000        # opt.py:162-163
     lr_scheduler: str = "step"           # StepLR gamma=0.9/epoch (train_utils.py:153-155)
     lr_gamma: float = 0.9
-    # linear lr warmup (0 = off; -1 = auto, 2 epochs; -2 = explicitly
-    # off even when scale_global_batch would auto-enable it): used by the
-    # scaled-global-batch mode, where jumping straight to the linearly
-    # scaled lr loses ~1.6 dB/equal-epochs vs batch-1024 on the bumpy AOI
-    # (examples/results/scaled_batch_convergence.json) — gradual warmup
-    # is the standard companion of the linear-scaling rule (Goyal et al.)
+    # linear lr warmup from lr/10 (0 = off — the default; -1 = 2 epochs;
+    # -2 = explicitly off; positive = explicit step count).  Opt-in even
+    # under scale_global_batch: the measured lr-rule grid at equal epochs
+    # (examples/results/scaled_batch_convergence.json, batch 8192 on the
+    # bumpy AOI vs batch-1024's 32.44 dB) is monotonic in effective lr —
+    # linear x8 no-warmup 30.84, +2-epoch warmup 28.71, sqrt-scaled
+    # 27.10, unscaled 24.62 — i.e. Goyal et al.'s warmup (built for
+    # instability at very large batch) only costs steps at these
+    # horizons, so the linear-scaling rule ships WITHOUT it by default
     lr_warmup_steps: int = 0
     # loss weights
     lambda_rgb: float = 1.0              # opt.py:186-187

@@ -73,17 +73,18 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
     train_utils.py:153-155), as an optax exponential staircase.
 
     tcfg.lr_warmup_steps > 0 (or -1 = two epochs) prepends a linear ramp
-    from lr/10 to lr — the gradual-warmup companion of the
-    scaled-global-batch mode's linear lr scaling; the staircase then
-    decays from the end of the ramp."""
+    from lr/10 to lr (opt-in, incl. under scale_global_batch — the
+    measured lr-rule grid in BASELINE.md found warmup costs ~2 dB at
+    equal epochs at the tested horizon); the staircase then decays from
+    the end of the ramp."""
     sched = optax.exponential_decay(
         init_value=tcfg.lr, transition_steps=max(1, steps_per_epoch),
         decay_rate=tcfg.lr_gamma, staircase=True)
     warm = tcfg.lr_warmup_steps
     if warm == -1:
         warm = 2 * max(1, steps_per_epoch)
-    elif warm < 0:          # -2 = explicitly off (overrides the
-        warm = 0            # scaled-global-batch auto-enable)
+    elif warm < 0:          # -2 = explicitly off (kept as a no-op alias
+        warm = 0            # from when scale_global_batch auto-enabled warmup)
     if warm > 0:
         ramp = optax.linear_schedule(init_value=tcfg.lr * 0.1,
                                      end_value=tcfg.lr,

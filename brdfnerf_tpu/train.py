@@ -115,12 +115,13 @@ class Trainer:
             import dataclasses as _dc
             cfg = _dc.replace(cfg, train=_dc.replace(
                 cfg.train, batch_size=cfg.train.batch_size * k,
-                lr=cfg.train.lr * k,
-                lr_warmup_steps=(cfg.train.lr_warmup_steps or -1)))
+                lr=cfg.train.lr * k))
             self.cfg = cfg
+            warm = cfg.train.lr_warmup_steps
             print(f"[mesh] scaled global batch: {cfg.train.batch_size} "
-                  f"rays/step ({k} devices), lr -> {cfg.train.lr:.3e} "
-                  f"with 2-epoch linear warmup")
+                  f"rays/step ({k} devices), lr -> {cfg.train.lr:.3e}"
+                  + (f", lr warmup {'2 epochs' if warm == -1 else warm}"
+                     if warm not in (0, -2) else ""))
         tcfg = cfg.train
         # observability guard: fitting hotspot-gated BRDF parameters
         # (RPV rhoc, Hapke c) on geometry that never samples the hotspot

@@ -8,6 +8,35 @@ import shutil
 import time
 
 
+def force_requested_platform(min_devices: int = 0):
+    """Honor a shell-level ``JAX_PLATFORMS=cpu`` request under the axon
+    site hook.
+
+    The axon sitecustomize registers the TPU-tunnel backend at interpreter
+    startup and programmatically sets ``jax_platforms='axon,cpu'``, which
+    overrides the JAX_PLATFORMS env var (tests/conftest.py documents the
+    same fight).  Without this, ``JAX_PLATFORMS=cpu python examples/...``
+    silently runs on the single real TPU chip — a 1-device "8-device mesh"
+    that produces wrong-scale ablation numbers.  Call before any jax
+    computation; re-applies the env request at the config level and, for a
+    cpu request, defaults the virtual host device count to max(8,
+    min_devices) so mesh examples get their devices without extra flags.
+    """
+    req = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not req:
+        return
+    if "cpu" in req.split(","):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            n = max(8, min_devices)
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+    import jax
+    if jax.config.jax_platforms != req:
+        jax.config.update("jax_platforms", req)
+
+
 def harvest_curve(run_dir: str):
     """Parse scalars.jsonl into [{step, psnr, mae}] — mean over the val
     images' `val/psnr_<i>` / `val/mae_<i>` scalars ('all'/'nr' variants

@@ -9,16 +9,22 @@ converges comparably PER EPOCH to the blessed batch-1024 run:
   leg A (baseline): batch 1024 on an 8-device mesh (replicated store,
         each device sees 128 rays/step — the round-3 status quo),
         8x more steps so all legs see the same number of epochs.
-  leg B (scaled, no warmup): batch 8192 = 1024 x 8 via
-        --scale_global_batch + --sharded_store (1/8 of the rays + HBM
-        per device), lr x 8, 200 steps, warmup disabled — measures the
-        raw large-batch gap (Goyal et al. fig. 1 analog).
-  leg C (scaled + warmup): same, with the 2-epoch linear lr warmup that
-        --scale_global_batch now enables by default.
+  scaled legs: batch 8192 = 1024 x 8 via --scale_global_batch +
+        --sharded_store (1/8 of the rays + HBM per device), 200 steps,
+        one leg per lr rule:
+          linear x8, no warmup   (the mode's default)
+          linear x8 + 2-epoch warmup (Goyal et al. gradual warmup)
+          sqrt x2.83, no warmup  (the Adam-folklore alternative)
+          unscaled 1e-3          (no rule at all)
 
 All legs train the same spsbrdf config on the same bumpy synthetic AOI
 from the same init, and report train loss/psnr at equal-epoch points plus
-a held-out validation PSNR.
+a held-out validation PSNR.  Measured outcome (recorded in
+results/scaled_batch_convergence.json and BASELINE.md): monotonic in
+effective lr — linear no-warmup wins (-1.6 dB vs baseline at equal
+epochs), warmup costs 2.1 dB more, sqrt/unscaled trail far behind —
+which is why --scale_global_batch applies the linear rule WITHOUT
+auto-warmup.
 
 Run (CPU mesh):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -35,6 +41,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_utils import force_requested_platform
+
+force_requested_platform(min_devices=8)
 
 import jax
 
@@ -79,6 +90,11 @@ def main():
     n = store["rays"].shape[0]
 
     mesh = make_mesh(8)
+    # a silent 1-device "mesh" (e.g. the axon hook stealing the platform)
+    # would turn every scaled leg into batch-1024 lr-1e-3 noise
+    assert mesh.size == 8, (
+        f"need an 8-device mesh, got {mesh.size} "
+        f"({jax.devices()}): run with JAX_PLATFORMS=cpu")
     mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
                        normal="analystic", func_m=True, func_f=True,
                        func_h=1, layers=4, feat=64, skips=(2,))
@@ -96,29 +112,33 @@ def main():
           f"loss {a['final_loss']:.4f}, val PSNR {a['val_psnr']:.2f}",
           flush=True)
 
-    # legs B/C: scaled global batch 8192 (= 1024 x 8), lr x 8, sharded
-    # store — without (lr_warmup_steps=-2) and with the default 2-epoch
-    # linear warmup
+    # scaled legs: one per lr rule.  scale_global_batch multiplies lr by
+    # the mesh size, so each leg pre-divides to get its effective lr.
     import dataclasses as dc
+    k = int(mesh.size)
     legs = {}
-    for tag, warm in (("scaled_8192_no_warmup", -2), ("scaled_8192", 0)):
+    for tag, eff_lr, warm in (
+            ("scaled_8192_linear", tcfg.lr * k, 0),
+            ("scaled_8192_linear_warmup", tcfg.lr * k, -1),
+            ("scaled_8192_sqrt", tcfg.lr * k ** 0.5, 0),
+            ("scaled_8192_unscaled", tcfg.lr, 0)):
         cfg_i = dc.replace(cfg, train=dc.replace(
-            tcfg, max_train_steps=scaled_steps, lr_warmup_steps=warm))
+            tcfg, lr=eff_lr / k, max_train_steps=scaled_steps,
+            lr_warmup_steps=warm))
         legs[tag] = run_leg(tag, cfg_i, store, val_ds, mesh, out_dir,
                             steps=scaled_steps, scan_chunk=8,
                             sharded_store=True, scale_global_batch=True)
         b = legs[tag]
-        print(f"[{tag}] batch {b['global_batch']}: {b['epochs']:.1f} "
-              f"epochs, loss {b['final_loss']:.4f}, val PSNR "
-              f"{b['val_psnr']:.2f}", flush=True)
+        print(f"[{tag}] batch {b['global_batch']} lr {b['lr']:.3e}: "
+              f"{b['epochs']:.1f} epochs, loss {b['final_loss']:.4f}, "
+              f"val PSNR {b['val_psnr']:.2f}", flush=True)
 
     out = {"n_rays": int(n), "devices": int(mesh.size),
            "config": "spsbrdf 4x64, 8+8 samples, bumpy AOI 192px",
            "baseline_1024": a, **legs,
-           "val_psnr_delta_no_warmup":
-               legs["scaled_8192_no_warmup"]["val_psnr"] - a["val_psnr"],
-           "val_psnr_delta_warmup":
-               legs["scaled_8192"]["val_psnr"] - a["val_psnr"]}
+           "val_psnr_delta":
+               {tag: legs[tag]["val_psnr"] - a["val_psnr"]
+                for tag in legs}}
     print(json.dumps(out, indent=2))
     res_dir = os.path.join(REPO, "examples", "results")
     os.makedirs(res_dir, exist_ok=True)

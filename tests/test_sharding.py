@@ -416,12 +416,13 @@ def test_trainer_sharded_store_and_scaled_batch(tmp_path):
 
 
 def test_scaled_batch_lr_warmup():
-    """scale_global_batch turns on the 2-epoch linear warmup (Goyal et
-    al. gradual warmup for the linear-scaling rule): the schedule ramps
-    lr/10 -> lr over 2 epochs, then the per-epoch staircase decays from
-    the ramp's end.  Measured need: without warmup the 8192-batch run
-    loses ~1.6 dB/equal-epochs vs batch-1024
-    (examples/results/scaled_batch_convergence.json)."""
+    """lr warmup schedule semantics (0 / -1 / -2 / positive), and that
+    scale_global_batch scales batch+lr WITHOUT enabling warmup: the
+    measured lr-rule grid (examples/results/scaled_batch_convergence.json)
+    is monotonic in effective lr at equal epochs — linear x8 no-warmup
+    30.84 dB, +warmup 28.71, sqrt 27.10, unscaled 24.62 vs baseline
+    32.44 — so warmup is opt-in (-1 = 2 epochs ramping lr/10 -> lr,
+    then the per-epoch staircase decays from the ramp's end)."""
     import dataclasses as dc
     from brdfnerf_tpu.config import RunConfig, TrainConfig
     from brdfnerf_tpu.parallel.train_step import make_optimizer
@@ -453,5 +454,5 @@ def test_scaled_batch_lr_warmup():
         tr = Trainer(RunConfig(model=mcfg, render=rcfg, train=tcfg), store,
                      TrainerPaths(logs_dir=td + "/l", ckpts_dir=td + "/c"),
                      mesh=mesh, scale_global_batch=True)
-        assert tr.cfg.train.lr_warmup_steps == -1
+        assert tr.cfg.train.lr_warmup_steps == 0     # warmup stays opt-in
         assert tr.cfg.train.batch_size == 64 * 8
