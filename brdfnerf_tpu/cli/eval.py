@@ -40,7 +40,8 @@ def find_best_t_for_val_image(tr, sample, psnr_fn, n_vocab: int):
 def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              checkpoints_dir: str = None, output_dir: str = None,
              find_best_t: bool = False, compute_dtype: str = None,
-             normal_at_surface: bool = None) -> Dict:
+             normal_at_surface: bool = None,
+             sun_march_samples: int = None) -> Dict:
     import jax.numpy as jnp
     from ..utils.geotiff import write_geotiff, GeoProfile
     from ..metrics import psnr as psnr_m, masked_scores
@@ -58,6 +59,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
                       checkpoints_dir=checkpoints_dir, split=split,
                       compute_dtype=compute_dtype,
                       normal_at_surface=normal_at_surface,
+                      sun_march_samples=sun_march_samples,
                       output_dir=out_dir)
     args, tr, val_ds = r.args, r.trainer, r.dataset
 
@@ -157,7 +159,8 @@ def main(argv=None):
              output_dir=args.output_dir,
              find_best_t=bool(args.find_best_t),
              compute_dtype=args.compute_dtype,
-             normal_at_surface=args.normal_at_surface)
+             normal_at_surface=args.normal_at_surface,
+             sun_march_samples=args.sun_march_samples)
     return 0
 
 

@@ -244,6 +244,13 @@ def eval_parser() -> argparse.ArgumentParser:
                         "(93.6k vs 74.7k rays/s flagship, BASELINE.md), "
                         "rgb mean|dev| ~0.03 vs per-sample semantics — "
                         "serving accel, not a metrics-parity mode")
+    p.add_argument("--sun_march_samples", type=int, default=None,
+                   help="override the run's sun-visibility march sample "
+                        "count for this evaluation (0 = reference intent "
+                        "N_samples; -1 = merged final count — what "
+                        "pre-knob runs trained with and what their "
+                        "reloaded opts.json defaults to; positive = "
+                        "explicit count)")
     return p
 
 
@@ -334,7 +341,15 @@ def dump_opts(args: argparse.Namespace, run_dir: str) -> str:
 def load_opts(run_dir: str) -> argparse.Namespace:
     """eval.py:228-229: reload opts.json as the config source of truth."""
     with open(os.path.join(run_dir, "opts.json")) as f:
-        return argparse.Namespace(**json.load(f))
+        d = json.load(f)
+    # Back-compat: runs recorded before --sun_march_samples existed
+    # trained (and validated) with the march at the merged final count —
+    # today's spelling -1, NOT today's default 0 (= N_samples).  Filling
+    # the legacy value here keeps their re-evaluation bit-true to the
+    # behavior the checkpoint was trained with; fresh runs always dump
+    # the key.
+    d.setdefault("sun_march_samples", -1)
+    return argparse.Namespace(**d)
 
 
 def sat_config_from_opts(args: argparse.Namespace):

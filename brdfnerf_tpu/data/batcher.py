@@ -144,15 +144,12 @@ class ShardedRayBatcher:
         self.local_batch = batch_size // d
         self.batch_size = batch_size
         self.shard_size = -(-self.n // d)          # ceil
-        pad = self.shard_size * d - self.n
         self._store = {}
         if place:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P(axis))
-            for k, v in arrays.items():
-                if pad:
-                    v = np.concatenate([v, v[:pad]], axis=0)
+            for k, v in self.padded_arrays(arrays).items():
                 self._store[k] = jax.device_put(v, sh)
         self.rng = np.random.default_rng(seed)
         self._perms = self._new_perms()

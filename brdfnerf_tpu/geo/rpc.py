@@ -174,20 +174,10 @@ def rpc_dict_from_geotiff(path: str) -> dict:
     vendor products carry it (the reference reads these via
     rpcm.rpc_from_geotiff, generate_dataset.py:152-163).  Parses the IFD
     only — pixel data is not decoded."""
-    import struct
-    from ..utils.geotiff import _read_ifd_entries, _rpc_dict_from_tag, _T_RPC
+    from ..utils.geotiff import read_tiff_header, _rpc_dict_from_tag, _T_RPC
     with open(path, "rb") as f:
         buf = f.read()
-    if buf[:2] == b"II":
-        endian = "<"
-    elif buf[:2] == b"MM":
-        endian = ">"
-    else:
-        raise ValueError(f"{path}: not a TIFF")
-    magic, ifd_off = struct.unpack(endian + "HI", buf[2:8])
-    if magic == 43:
-        raise ValueError(f"{path}: BigTIFF (magic 43) is not supported")
-    tags, _ = _read_ifd_entries(buf, ifd_off, endian)
+    _, tags = read_tiff_header(path, buf)
     if _T_RPC not in tags:
         raise ValueError(f"{path}: no RPC coefficient tag (50844)")
     return _rpc_dict_from_tag(tags[_T_RPC])

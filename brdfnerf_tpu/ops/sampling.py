@@ -25,8 +25,10 @@ from .compositing import depth_std
 
 # Auto-split bound for the inverse-CDF one-hot lookups: the gather-free
 # path materializes two (N, U, B+1) f32 one-hots + the i32 searchsorted
-# compare, i.e. 12 bytes per lane of transient HBM (measured/analytic
-# table: examples/results/sample_pdf_memory.json).  Above this many lanes
+# compare, i.e. 12 bytes per lane of transient HBM (analytic table:
+# examples/results/sample_pdf_memory.json — the tunnel TPU device exposes
+# no memory_stats, so the table's measured column is null there and the
+# no-fusion analytic bound is the operative number).  Above this many lanes
 # the lookup runs as a lax.map over row blocks — strictly sequential, so
 # peak transient stays at one block (~384 MB at the default bound).
 # Production training (1024x64x65 = 4.2M lanes) and the serving chunk at

@@ -64,6 +64,7 @@ def load_renderer(run_dir: str, epoch_number: int,
                   split: str = "val",
                   compute_dtype: Optional[str] = None,
                   normal_at_surface: Optional[bool] = None,
+                  sun_march_samples: Optional[int] = None,
                   output_dir: Optional[str] = None,
                   n_devices: int = 0) -> Renderer:
     """Reload a run's opts.json (the reference contract, eval.py:228-229),
@@ -100,6 +101,9 @@ def load_renderer(run_dir: str, epoch_number: int,
     if normal_at_surface is not None:
         cfg = dc.replace(cfg, render=dc.replace(
             cfg.render, normal_at_surface=bool(normal_at_surface)))
+    if sun_march_samples is not None:
+        cfg = dc.replace(cfg, render=dc.replace(
+            cfg.render, sun_march_samples=int(sun_march_samples)))
 
     if args.data == "blender":
         from .data.blender import BlenderDataset

@@ -175,6 +175,14 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+class UnsupportedTiffFeature(ValueError):
+    """A structurally valid TIFF uses a feature outside the native decode
+    slice (e.g. JPEG-in-TIFF compression).  read_geotiff catches exactly
+    this to fall back to PIL for the pixel data; any other error from the
+    native path (truncated strip, bad LZW stream, short buffer) is a
+    corrupt file and must surface as-is, not be re-tried through PIL."""
+
+
 def _decode_segment(raw: bytes, comp: int, path: str,
                     expected: int) -> bytes:
     if comp == 1:
@@ -185,7 +193,8 @@ def _decode_segment(raw: bytes, comp: int, path: str,
         return _lzw_decode(raw)
     if comp == 32773:                       # PackBits
         return _packbits_decode(raw, expected)
-    raise ValueError(f"{path}: compression {comp} not handled natively")
+    raise UnsupportedTiffFeature(
+        f"{path}: compression {comp} not handled natively")
 
 
 def _unpredict(seg: np.ndarray, predictor: int, dt: np.dtype) -> np.ndarray:
@@ -284,9 +293,13 @@ def _rpc_dict_from_tag(vals) -> dict:
     }
 
 
-def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
-    with open(path, "rb") as f:
-        buf = f.read()
+def read_tiff_header(path: str, buf: bytes):
+    """Validate the TIFF header and parse the first IFD.
+
+    Returns (endian, tags).  ONE implementation for every consumer of the
+    classic-TIFF container (read_geotiff here, geo/rpc's IFD-only RPC tag
+    reader) so header handling — endianness, the BigTIFF rejection
+    message, future format support — cannot drift between them."""
     if buf[:2] == b"II":
         endian = "<"
     elif buf[:2] == b"MM":
@@ -299,6 +312,13 @@ def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
             f"{path}: BigTIFF (magic 43) is not supported — convert to "
             f"classic TIFF (e.g. gdal_translate -co BIGTIFF=NO)")
     tags, _ = _read_ifd_entries(buf, ifd_off, endian)
+    return endian, tags
+
+
+def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    endian, tags = read_tiff_header(path, buf)
 
     w = tags[_T_WIDTH][0]
     h = tags[_T_HEIGHT][0]
@@ -315,7 +335,7 @@ def read_geotiff(path: str) -> Tuple[np.ndarray, GeoProfile]:
                                comp, planar, predictor)
         if arr.ndim == 3 and planar != 2:
             arr = arr.transpose(2, 0, 1)                 # -> (bands, h, w)
-    except ValueError:
+    except UnsupportedTiffFeature:
         # compression outside the native slice (e.g. JPEG-in-TIFF): PIL
         # fallback for pixel data only — geo tags were parsed from the IFD
         from PIL import Image

@@ -26,25 +26,28 @@ sys.path.insert(0, REPO)
 import jax
 import jax.numpy as jnp
 
-from brdfnerf_tpu.ops.sampling import sample_pdf
+from brdfnerf_tpu.ops.sampling import sample_pdf, _MAX_LOOKUP_ELEMS
 
 
 def peak_bytes():
-    st = jax.local_devices()[0].memory_stats()
-    if not st:
-        return None
+    st = jax.local_devices()[0].memory_stats() or {}
     return st.get("peak_bytes_in_use")
 
 
 def measure(n_rays, n_bins, n_imp):
-    """Peak-delta of one jitted sample_pdf call at (n_rays, n_bins+1 edges,
-    n_imp draws)."""
+    """High-water-mark delta of one jitted sample_pdf call at (n_rays,
+    n_bins+1 edges, n_imp draws).
+
+    peak_bytes_in_use is monotone per process, so the per-row delta is a
+    LOWER bound on the op's transient: rows run smallest-to-largest, and
+    each delta records how much this shape raised the process high-water
+    mark beyond everything before it (0 = the transient fits inside a
+    prior row's peak).  Backends without memory_stats (CPU, some tunnel
+    devices) report measured=null and the analytic bound stands alone."""
     key = jax.random.PRNGKey(0)
     bins = jnp.linspace(0.0, 1.0, n_bins + 1)[None, :].repeat(n_rays, 0)
     w = jax.random.uniform(jax.random.PRNGKey(1), (n_rays, n_bins)) + 0.1
     fn = jax.jit(lambda k, b, ww: sample_pdf(k, b, ww, n_imp))
-    out = fn(key, bins, w)           # compile + run once (allocs cached)
-    jax.block_until_ready(out)
     base = peak_bytes()
     out = fn(key, bins, w)
     jax.block_until_ready(out)
@@ -60,7 +63,8 @@ def measure(n_rays, n_bins, n_imp):
         return {"shape": [n_rays, n_imp, n_bins + 1], **analytic,
                 "measured": None}
     return {"shape": [n_rays, n_imp, n_bins + 1], **analytic,
-            "measured_peak_mb": peak / 2 ** 20}
+            "measured_peak_mb": peak / 2 ** 20,
+            "measured_delta_mb": (peak - base) / 2 ** 20}
 
 
 def main():
@@ -74,8 +78,10 @@ def main():
     out = {"backend": jax.default_backend(),
            "device": str(jax.local_devices()[0]),
            "rows": rows,
-           "split_bound_elems": int(os.environ.get(
-               "BRDFNERF_SAMPLE_PDF_MAX_ELEMS", str(1 << 27)))}
+           # the ACTUAL bound sample_pdf runs with (module default or the
+           # BRDFNERF_SAMPLE_PDF_MAX_ELEMS override) — a hardcoded copy
+           # here once drifted to 4x the shipped default
+           "split_bound_elems": int(_MAX_LOOKUP_ELEMS)}
     print(json.dumps(out, indent=2))
     res = os.path.join(REPO, "examples", "results")
     os.makedirs(res, exist_ok=True)

@@ -21,6 +21,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_utils import force_requested_platform
+
+# honor JAX_PLATFORMS=cpu even under the axon site hook (which would
+# otherwise silently run the "CPU" A/B on the real TPU chip)
+force_requested_platform()
 
 import dataclasses as dc
 

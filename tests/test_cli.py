@@ -115,6 +115,51 @@ def test_sc_lambda_zeroed_without_learned_sun():
     assert args.sc_lambda == 0.0                      # opt.py:339-341
 
 
+def test_sun_march_samples_legacy_reload(tmp_path):
+    """Pre-knob runs (rounds 1-3) trained with the sun march at the
+    merged final count; their reloaded opts.json must re-evaluate with
+    that behavior (-1), not today's default (0 = N_samples) — otherwise a
+    round-3 checkpoint's sun-visibility renders silently change under
+    re-evaluation.  Fresh runs keep the new default and the eval CLI can
+    override either way."""
+    import json as _json
+
+    from brdfnerf_tpu.cli.opts import (train_parser, postprocess,
+                                       to_run_config, dump_opts, load_opts,
+                                       eval_parser)
+
+    base = ["--root_dir", "/tmp", "--exp_name", "x"]
+    args = postprocess(train_parser().parse_args(base))
+    # fresh parse: reference-intent default, dumped into opts.json
+    assert to_run_config(args).render.sun_march_samples == 0
+    run_dir = str(tmp_path / "run")
+    dump_opts(args, run_dir)
+
+    # a legacy opts.json = today's dump minus the key
+    with open(run_dir + "/opts.json") as f:
+        d = _json.load(f)
+    del d["sun_march_samples"]
+    with open(run_dir + "/opts.json", "w") as f:
+        _json.dump(d, f)
+    legacy = load_opts(run_dir)
+    assert legacy.sun_march_samples == -1             # merged final count
+    assert to_run_config(legacy).render.sun_march_samples == -1
+    # a fresh run's dump round-trips its recorded value unchanged
+    dump_opts(args, run_dir)
+    assert load_opts(run_dir).sun_march_samples == 0
+
+    # eval-time override flag exists and reaches the render config
+    ea = eval_parser().parse_args(
+        ["--logs_dir", "/tmp", "--epoch_number", "1",
+         "--sun_march_samples", "-1"])
+    assert ea.sun_march_samples == -1
+    import dataclasses as dc
+    cfg = to_run_config(legacy)
+    cfg = dc.replace(cfg, render=dc.replace(
+        cfg.render, sun_march_samples=int(ea.sun_march_samples)))
+    assert cfg.render.sun_march_count(final_count=128) == 128
+
+
 def test_reference_readme_cmdline_parses():
     """The verbatim stage-2 BRDF training command from the reference README
     (README.md:99-132) parses and maps onto the run config, flag names

@@ -162,6 +162,35 @@ def test_non_tiff_fails(tmp_path):
         read_geotiff(str(p))
 
 
+def test_corrupt_strip_surfaces_decode_error(tmp_path):
+    """A structurally valid TIFF whose compressed strip data is corrupt
+    must surface the native decode error, NOT be silently re-tried
+    through the PIL fallback (which would replace the actionable error
+    with an unrelated PIL one).  Only UnsupportedTiffFeature — a valid
+    file using a compression outside the native slice — may fall back."""
+    from PIL import Image
+
+    from brdfnerf_tpu.utils.geotiff import UnsupportedTiffFeature
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+    p = str(tmp_path / "corrupt.tif")
+    Image.fromarray(img).save(p, compression="tiff_adobe_deflate")
+    buf = bytearray(open(p, "rb").read())
+    # garble 4 bytes inside the deflate strip (any in-stream corruption
+    # trips zlib's adler32 data check); the stream starts at the zlib
+    # 0x78 header byte, which follows the TIFF header/IFD
+    idx = bytes(buf).rfind(b"\x78")
+    assert idx > 8
+    buf[idx:idx + 4] = b"\x00\x00\x00\x00"
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(Exception) as ei:
+        read_geotiff(p)
+    assert not isinstance(ei.value, UnsupportedTiffFeature)
+    # the error is the native one (zlib/buffer), not a PIL failure
+    assert "PIL" not in type(ei.value).__module__
+
+
 # ------------------------------------------------------------- RPC golden
 
 @pytest.fixture(scope="module")
