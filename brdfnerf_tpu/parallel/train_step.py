@@ -225,9 +225,15 @@ def compute_losses(params, mcfg: ModelConfig, rcfg: RenderConfig,
 
 
 def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
-                    optimizer, mesh=None, donate: bool = True):
+                    optimizer, mesh=None, donate: bool = True,
+                    state_shardings=None):
     """Build the jitted train step. With a mesh, batch is sharded on axis 0
-    and params replicated (SPMD gradient all-reduce over ICI)."""
+    and params replicated (SPMD gradient all-reduce over ICI).
+
+    state_shardings (mesh only): a NamedSharding pytree matching the
+    TrainState — the tensor-parallel layout from parallel.tensor — used
+    in place of full replication for the state; GSPMD then partitions
+    every trunk matmul over the 'model' axis."""
 
     def step_fn(state: TrainState, batch: Dict, key, gates: TrainGates):
         def loss_fn(params):
@@ -247,11 +253,12 @@ def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = repl if state_shardings is None else state_shardings
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -259,7 +266,8 @@ def make_train_step(mcfg: ModelConfig, rcfg: RenderConfig, tcfg: TrainConfig,
 def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
                           tcfg: TrainConfig, optimizer,
                           schedule: GateSchedule, has_kp: bool = False,
-                          mesh=None, store_sharded: bool = False):
+                          mesh=None, store_sharded: bool = False,
+                          state_shardings=None):
     """Single-dispatch train step: the minibatch gather from the
     device-resident ray store, the schedule gates, and the per-step RNG key
     all happen INSIDE the jitted program.  Per step the host sends one
@@ -285,6 +293,10 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     Signature: (state, store, idx, [kp_store, kp_idx,] base_key).
     The index sequence still comes from the host batcher, so shuffled-epoch
     (sample-without-replacement) semantics are preserved exactly.
+
+    state_shardings: tensor-parallel state layout (see make_train_step);
+    composes with store_sharded — the store stays 'data'-sharded
+    (replicated over 'model') and the shard_map gather is unchanged.
     """
     if store_sharded and mesh is None:
         raise ValueError("store_sharded requires a mesh")
@@ -303,8 +315,9 @@ def make_fused_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
         return jax.jit(step_fn, donate_argnums=(0,))
     return jax.jit(step_fn,
                    in_shardings=_fused_shardings(mesh, has_kp,
-                                                 store_sharded=store_sharded),
-                   out_shardings=_fused_out_shardings(mesh),
+                                                 store_sharded=store_sharded,
+                                                 state_sharding=state_shardings),
+                   out_shardings=_fused_out_shardings(mesh, state_shardings),
                    donate_argnums=(0,))
 
 
@@ -360,33 +373,38 @@ def _fused_step_body(mcfg, rcfg, tcfg, optimizer, schedule, has_kp,
     return one_step
 
 
-def _fused_shardings(mesh, has_kp, idx_spec=None, store_sharded=False):
+def _fused_shardings(mesh, has_kp, idx_spec=None, store_sharded=False,
+                     state_sharding=None):
     """idx_spec: PartitionSpec of the index argument(s) — P('data') for
     the single-step path, P(None, 'data') for the scan path's (N, batch)
     index matrix; everything else is replicated except the main store,
-    which shards over 'data' when store_sharded."""
+    which shards over 'data' when store_sharded, and the state, which
+    takes the tensor-parallel layout when state_sharding is given."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     idx = NamedSharding(mesh, idx_spec if idx_spec is not None
                         else P("data"))
     store = NamedSharding(mesh, P("data")) if store_sharded else repl
-    shardings = [repl, store, idx]           # state, store, idx
+    state = repl if state_sharding is None else state_sharding
+    shardings = [state, store, idx]          # state, store, idx
     if has_kp:
         shardings += [repl, idx]             # kp_store, kp_idx
     shardings.append(repl)                   # base_key
     return tuple(shardings)
 
 
-def _fused_out_shardings(mesh):
+def _fused_out_shardings(mesh, state_sharding=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
-    return (repl, repl)
+    state = repl if state_sharding is None else state_sharding
+    return (state, repl)
 
 
 def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
                          tcfg: TrainConfig, optimizer,
                          schedule: GateSchedule, has_kp: bool = False,
-                         mesh=None, store_sharded: bool = False):
+                         mesh=None, store_sharded: bool = False,
+                         state_shardings=None):
     """N fused steps per dispatch via lax.scan — same trajectory as N
     calls of make_fused_train_step (identical index/key/gate sequences;
     the body IS the fused step body), but the host pays ONE dispatch per
@@ -432,8 +450,9 @@ def make_scan_train_step(mcfg: ModelConfig, rcfg: RenderConfig,
     return jax.jit(scan_fn,
                    in_shardings=_fused_shardings(mesh, has_kp,
                                                  idx_spec=P(None, "data"),
-                                                 store_sharded=store_sharded),
-                   out_shardings=_fused_out_shardings(mesh),
+                                                 store_sharded=store_sharded,
+                                                 state_sharding=state_shardings),
+                   out_shardings=_fused_out_shardings(mesh, state_shardings),
                    donate_argnums=(0,))
 
 
@@ -472,7 +491,8 @@ def reduce_panels(res: Dict, panel_accum) -> Dict:
 
 
 def make_scan_render_step(mcfg: ModelConfig, rcfg: RenderConfig,
-                          per_ray_keys, panel_accum, mesh=None):
+                          per_ray_keys, panel_accum, mesh=None,
+                          param_shardings=None):
     """Block render: a lax.scan over ray chunks inside a single jitted
     program.  The chunked-loop path dispatches one chunk per host
     round-trip and synchronously fetches each result — on a high-latency
@@ -511,4 +531,7 @@ def make_scan_render_step(mcfg: ModelConfig, rcfg: RenderConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     mat = NamedSharding(mesh, P(None, "data"))
-    return jax.jit(fn, in_shardings=(repl, mat, mat, repl, repl))
+    # param_shardings: keep tensor-parallel params in their sharded layout
+    # (replicating them here would all-gather the trunk every render call)
+    par = repl if param_shardings is None else param_shardings
+    return jax.jit(fn, in_shardings=(par, mat, mat, repl, repl))

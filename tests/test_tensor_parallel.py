@@ -1,0 +1,254 @@
+"""Tensor parallelism (2-D data x model mesh) on the 8-virtual-CPU mesh.
+
+The TP layout (parallel/tensor.py) is a pure re-layout of the same math:
+a TP train step's trajectory must match the replicated 1-device step to
+floating-point reduction tolerance, trunk weights must actually live
+sharded over the 'model' axis (that is the capability — HBM headroom for
+scaled trunks), and the layout must compose with the 'data' axis
+contracts (sharded store, scan-chunked loop)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from brdfnerf_tpu.config import ModelConfig, RenderConfig, TrainConfig
+from brdfnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from brdfnerf_tpu.parallel.tensor import (tp_mesh, trunk_spec, state_shardings,
+                                          shard_state, model_axis_size,
+                                          data_axis_size)
+from brdfnerf_tpu.parallel.train_step import (create_train_state,
+                                              make_train_step,
+                                              make_fused_train_step,
+                                              make_scan_train_step,
+                                              make_render_step,
+                                              GateSchedule, TrainGates)
+from brdfnerf_tpu.render.render import RenderInputs
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _cfg():
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       layers=4, feat=64, skips=(2,))
+    rcfg = RenderConfig(n_samples=8, guided_samples=8)
+    tcfg = TrainConfig(lr=1e-3, batch_size=128, ds_lambda=10.0)
+    return mcfg, rcfg, tcfg
+
+
+def _batch(n, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = np.tile(np.asarray([[0.05, 0.02, -1.0]], np.float32), (n, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sun = np.tile(np.asarray([[0.3, 0.2, 0.93]], np.float32), (n, 1))
+    sun /= np.linalg.norm(sun, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.zeros((n, 1), np.float32),
+                           np.full((n, 1), 2.0, np.float32), sun], 1)
+    return {
+        "rays": rays,
+        "rgbs": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "ts": np.zeros(n, np.int32),
+        "depths": np.stack([rng.uniform(0.5, 1.5, n), np.ones(n)],
+                           1).astype(np.float32),
+        "valid_depth": (rng.uniform(0, 1, n) > 0.5).astype(np.int32),
+        "depth_std": np.zeros(n, np.float32),
+    }
+
+
+def _gates():
+    f, t = jnp.asarray(False), jnp.asarray(True)
+    return TrainGates(f, t, t, f, t)
+
+
+# ----------------------------------------------------------- the spec rule
+
+def test_trunk_spec_alternates_and_mirrors_into_adam_state():
+    mcfg, rcfg, tcfg = _cfg()
+    state, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    mesh = tp_mesh(2, 4)
+    shs = state_shardings(mesh, state, skips=mcfg.skips)
+
+    def spec_of(tree, path_fn):
+        return path_fn(tree).spec
+
+    # params: alternating col/row; skip layer (2, even) stays col
+    fc = shs.params["coarse"]["fc_net"]
+    assert fc[0]["w"].spec == P(None, "model")
+    assert fc[0]["b"].spec == P("model")
+    assert fc[1]["w"].spec == P("model", None)
+    assert fc[1]["b"].spec == P()
+    assert fc[2]["w"].spec == P(None, "model")
+    assert fc[3]["w"].spec == P("model", None)
+    # heads + step replicated
+    assert shs.params["coarse"]["sigma_from_xyz"][0]["w"].spec == P()
+    assert shs.step.spec == P()
+    # Adam mu/nu mirror the parameter layout (same path tail)
+    flat, _ = jax.tree_util.tree_flatten_with_path(shs.opt_state)
+    mirrored = [s.spec for path, s in flat
+                if any(getattr(k, "key", None) == "fc_net" for k in path)]
+    assert P(None, "model") in mirrored and P("model", None) in mirrored
+
+    # an ODD skip index forces column-parallel (the input-dim slice of a
+    # skip layer's W must stay shard-local)
+    assert trunk_spec(
+        _path_for("fc_net", 3, "w"), skips=(3,)) == P(None, "model")
+
+    assert model_axis_size(mesh) == 4 and data_axis_size(mesh) == 2
+    assert model_axis_size(make_mesh(8)) == 1
+    assert data_axis_size(make_mesh(8)) == 8
+
+
+def _path_for(name, idx, leaf):
+    from jax.tree_util import DictKey, SequenceKey
+    return (DictKey("coarse"), DictKey(name), SequenceKey(idx),
+            DictKey(leaf))
+
+
+# ------------------------------------------------- trajectory vs 1 device
+
+def test_tp_train_step_matches_single_device():
+    mcfg, rcfg, tcfg = _cfg()
+    state1, opt = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    mesh = tp_mesh(2, 4)
+    shs = state_shardings(mesh, state1, skips=mcfg.skips)
+    state_tp = shard_state(mesh, state1, skips=mcfg.skips)
+
+    step1 = make_train_step(mcfg, rcfg, tcfg, opt, donate=False)
+    step_tp = make_train_step(mcfg, rcfg, tcfg, opt, mesh=mesh,
+                              donate=False, state_shardings=shs)
+
+    key = jax.random.PRNGKey(3)
+    losses1, losses_tp = [], []
+    for i in range(3):
+        b = _batch(128, seed=i)
+        state1, m1 = step1(state1, jax.tree_util.tree_map(jnp.asarray, b),
+                           key, _gates())
+        state_tp, mt = step_tp(state_tp, shard_batch(mesh, b),
+                               replicate(mesh, key),
+                               replicate(mesh, _gates()))
+        losses1.append(float(m1["loss"]))
+        losses_tp.append(float(mt["loss"]))
+    np.testing.assert_allclose(losses_tp, losses1, rtol=2e-4)
+
+    # trunk weights remain sharded after the update: each device holds
+    # feat / n_model columns of a column-parallel layer
+    w = state_tp.params["coarse"]["fc_net"][0]["w"]
+    assert w.sharding.spec == P(None, "model")
+    local = w.addressable_shards[0].data
+    assert local.shape == (w.shape[0], w.shape[1] // 4)
+    # and the updated values match the replicated run
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(state1.params["coarse"]["fc_net"][0]["w"]),
+        rtol=2e-4, atol=2e-6)
+
+
+# ------------------------------------- fused + scan loop, sharded store
+
+def test_tp_fused_and_scan_loop_with_sharded_store():
+    from brdfnerf_tpu.data.batcher import ShardedRayBatcher
+
+    mcfg, rcfg, tcfg = _cfg()
+    mesh = tp_mesh(2, 4)
+    sched = GateSchedule(t_cos_irra=-1.0, t_ds_drop=1e9, t_nrrg=-1.0,
+                         steps_per_epoch=10, first_beta_epoch=0)
+    store_arrays = _batch(512)
+    state0, opt = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 10)
+    shs = state_shardings(mesh, state0, skips=mcfg.skips)
+
+    # reference trajectory: fused step, replicated 1-D mesh semantics are
+    # already pinned elsewhere — here the baseline is the 8-dev DP fused
+    # step (replicated store), and TP must reproduce it from the SAME
+    # sharded-store draws via global_indices
+    batcher = ShardedRayBatcher(store_arrays, tcfg.batch_size, mesh,
+                                seed=11)
+    idx_rows = [batcher.next_indices() for _ in range(6)]
+
+    dp_mesh = make_mesh(8)
+    base_key = jax.random.PRNGKey(5)
+
+    # the DP twin starts from an independent HOST copy: on the CPU
+    # platform device_put can alias the source buffer, so two mesh
+    # placements of the same state share storage — and the TP loop's
+    # donated state would delete the DP twin's buffers with it
+    from jax.sharding import NamedSharding
+    st = shard_state(mesh, state0, skips=mcfg.skips)
+    st_dp = replicate(dp_mesh, jax.tree_util.tree_map(
+        lambda x: np.array(x), state0))
+
+    # TP fused steps over the 'data'-sharded store
+    fused_tp = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched,
+                                     mesh=mesh, store_sharded=True,
+                                     state_shardings=shs)
+    idx_sh = NamedSharding(mesh, P("data"))
+    tp_losses = []
+    for row in idx_rows[:3]:
+        st, m = fused_tp(st, batcher.store, jax.device_put(row, idx_sh),
+                         replicate(mesh, base_key))
+        tp_losses.append(float(m["loss"]))
+
+    # the same draws replayed on the DP mesh (replicated store, global
+    # indices) — the 2x4 TP run must track the 8-dev DP run; note the
+    # stores differ in shard count (2 vs 8), so replay through the PADDED
+    # host twin of the 2-shard store
+    padded = batcher.padded_arrays(store_arrays)
+    fused_dp = make_fused_train_step(mcfg, rcfg, tcfg, opt, sched,
+                                     mesh=dp_mesh)
+    store_dp = {k: jax.device_put(v, NamedSharding(dp_mesh, P()))
+                for k, v in padded.items()}
+    dp_losses = []
+    for row in idx_rows[:3]:
+        g = batcher.global_indices(row).astype(np.int32)
+        st_dp, m = fused_dp(st_dp, store_dp,
+                            jax.device_put(g, NamedSharding(dp_mesh,
+                                                            P("data"))),
+                            replicate(dp_mesh, base_key))
+        dp_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-4)
+
+    # scan-chunked loop under TP continues the SAME trajectory
+    scan_tp = make_scan_train_step(mcfg, rcfg, tcfg, opt, sched,
+                                   mesh=mesh, store_sharded=True,
+                                   state_shardings=shs)
+    mat = np.stack(idx_rows[3:6])
+    mat_sh = jax.device_put(mat, NamedSharding(mesh, P(None, "data")))
+    st, last = scan_tp(st, batcher.store, mat_sh, replicate(mesh, base_key))
+    for row in idx_rows[3:6]:
+        g = batcher.global_indices(row).astype(np.int32)
+        st_dp, m = fused_dp(st_dp, store_dp,
+                            jax.device_put(g, NamedSharding(dp_mesh,
+                                                            P("data"))),
+                            replicate(dp_mesh, base_key))
+    np.testing.assert_allclose(float(last["loss"]), float(m["loss"]),
+                               rtol=2e-4)
+    assert int(st.step) == 6
+
+
+# ------------------------------------------------------------- rendering
+
+def test_tp_render_matches_single_device():
+    mcfg, rcfg, tcfg = _cfg()
+    state, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    mesh = tp_mesh(2, 4)
+    state_tp = shard_state(mesh, state, skips=mcfg.skips)
+
+    b = _batch(256)
+    key = jax.random.PRNGKey(9)
+    fn = make_render_step(mcfg, rcfg)
+    inp = RenderInputs(rays=jnp.asarray(b["rays"]),
+                       ts=jnp.asarray(b["ts"]))
+    res1 = fn(state.params, inp, key)
+
+    fn_tp = make_render_step(mcfg, rcfg, mesh=mesh)
+    inp_tp = RenderInputs(rays=shard_batch(mesh, b["rays"]),
+                          ts=shard_batch(mesh, b["ts"]))
+    res_tp = fn_tp(state_tp.params, inp_tp, replicate(mesh, key))
+    np.testing.assert_allclose(np.asarray(res_tp["rgb_coarse"]),
+                               np.asarray(res1["rgb_coarse"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_tp["depth_coarse"]),
+                               np.asarray(res1["depth_coarse"]),
+                               rtol=1e-4, atol=1e-5)
