@@ -203,8 +203,12 @@ def min_phase_angle_deg(rays: np.ndarray, max_rays: int = 200_000) -> float:
     return float(np.degrees(np.arccos(cosg)).min())
 
 
+_WARNED_UNOBSERVABLE: set = set()
+
+
 def warn_unobservable_brdf_params(rays: np.ndarray, mcfg: ModelConfig,
-                                  threshold_deg: float = 10.0) -> bool:
+                                  threshold_deg: float = 10.0,
+                                  once: bool = False) -> bool:
     """Print a warning when the run fits hotspot-gated BRDF parameters
     (RPV rhoc via funcH==1, Hapke c) on geometry that never samples the
     hotspot — the round-3 ground-truth inversion study (BASELINE.md
@@ -220,6 +224,14 @@ def warn_unobservable_brdf_params(rays: np.ndarray, mcfg: ModelConfig,
         return False
     names = " / ".join(n for n, on in
                        (("RPV rhoc", fits_rhoc), ("Hapke c", fits_c)) if on)
+    # once=True: once per (geometry, params) per process — repeated
+    # Trainer constructions over the same store (bench, sweeps) otherwise
+    # spam the same diagnosis into driver artifacts
+    sig = (round(g_min, 1), names)
+    if once:
+        if sig in _WARNED_UNOBSERVABLE:
+            return True
+        _WARNED_UNOBSERVABLE.add(sig)
     print(f"[observability] minimum sun-view phase angle across the "
           f"training rays is {g_min:.1f} deg (> {threshold_deg:.0f} deg): "
           f"{names} is being fitted, but the hotspot these parameters "

@@ -144,6 +144,21 @@ class ShardedRayBatcher:
         self.local_batch = batch_size // d
         self.batch_size = batch_size
         self.shard_size = -(-self.n // d)          # ceil
+        if self.n < d:
+            # wrap-padding appends rows 0..pad-1 once, so it can only fill
+            # up to 2n rows — a store smaller than the mesh would come out
+            # ragged (and makes no sense to shard)
+            raise ValueError(
+                f"ray store has {self.n} rays but the '{axis}' mesh axis "
+                f"has {d} shards; need at least one ray per shard")
+        if self.local_batch > self.shard_size:
+            # next_indices would silently clamp to shard_size columns and
+            # surface later as a confusing jit shape mismatch
+            raise ValueError(
+                f"per-shard batch {self.local_batch} (batch_size "
+                f"{batch_size} / {d} shards) exceeds the per-shard store "
+                f"size {self.shard_size} (store {self.n} rays); shrink "
+                f"batch_size or grow the store")
         self._store = {}
         if place:
             import jax

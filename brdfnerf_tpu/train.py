@@ -110,8 +110,16 @@ class Trainer:
         self.log = ScalarLog(paths.logs_dir, use_tb)
         os.makedirs(paths.ckpts_dir, exist_ok=True)
 
-        if scale_global_batch and mesh is not None and int(mesh.size) > 1:
-            k = int(mesh.size)
+        # the batch-scaling factor is the DATA-parallel width, not the
+        # whole mesh: on a 2-D (data, model) mesh the model axis
+        # replicates the batch, so scaling by mesh.size would over-scale
+        # batch and lr by the TP factor
+        if scale_global_batch and mesh is not None:
+            from .parallel.tensor import data_axis_size
+            k = data_axis_size(mesh)
+        else:
+            k = 1
+        if k > 1:
             import dataclasses as _dc
             cfg = _dc.replace(cfg, train=_dc.replace(
                 cfg.train, batch_size=cfg.train.batch_size * k,
@@ -129,7 +137,8 @@ class Trainer:
         # BASELINE.md)
         if "rays" in train_store:
             from .analysis import warn_unobservable_brdf_params
-            warn_unobservable_brdf_params(train_store["rays"], cfg.model)
+            warn_unobservable_brdf_params(train_store["rays"], cfg.model,
+                                          once=True)
         batch_keys = [k for k in ("rays", "rgbs", "ts", "depths",
                                   "valid_depth", "depth_std", "normals",
                                   "valid_normal") if k in train_store]

@@ -17,9 +17,11 @@ from the TIFF 6.0 / GeoTIFF 1.1 specs:
     rpcm.rpc_from_geotiff in generate_dataset.py:152-163)
 
 PIL remains a pixel-data fallback for compressions outside that slice
-(e.g. JPEG-in-TIFF).  BigTIFF is detected and rejected with a clear
-message (classic TIFF covers every artifact the pipeline consumes; the
-conformance suite pins the error text).
+(e.g. JPEG-in-TIFF, which PIL decodes; old-style JPEG layouts without
+strip/tile offsets surface PIL's error taxonomy).  BigTIFF (magic 43,
+8-byte offsets, 20-byte IFD entries) is read natively through the same
+strip/tile/compression slice; only IFD 0 is consumed (later IFDs in
+GDAL products are reduced overviews).  Writes stay classic TIFF.
 
 API (shapes follow rasterio conventions):
   read_geotiff(path)  -> (array (bands, H, W), GeoProfile)
@@ -51,9 +53,9 @@ _T_NODATA = 42113
 _T_RPC = 50844   # RPCCoefficientTag: 92 doubles (see _rpc_dict_from_tag)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+               10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-             12: "d", 16: "Q", 17: "q"}
+             12: "d", 13: "I", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -82,17 +84,28 @@ def utm_epsg(zone: int, northern: bool) -> int:
 
 # ------------------------------------------------------------------- reader
 
-def _read_ifd_entries(buf, off, endian):
-    n = struct.unpack(endian + "H", buf[off:off + 2])[0]
+def _read_ifd_entries(buf, off, endian, big: bool = False):
+    """Parse one IFD: classic (2-byte count, 12-byte entries, u32
+    offsets) or BigTIFF (8-byte count, 20-byte entries, u64 offsets —
+    TIFF Technical Note: BigTIFF)."""
+    if big:
+        n = struct.unpack(endian + "Q", buf[off:off + 8])[0]
+        base, esz, inline, off_fmt = off + 8, 20, 8, "Q"
+    else:
+        n = struct.unpack(endian + "H", buf[off:off + 2])[0]
+        base, esz, inline, off_fmt = off + 2, 12, 4, "I"
     entries = {}
     for i in range(n):
-        e = off + 2 + 12 * i
-        tag, typ, count = struct.unpack(endian + "HHI", buf[e:e + 8])
+        e = base + esz * i
+        tag, typ = struct.unpack(endian + "HH", buf[e:e + 4])
+        count = struct.unpack(endian + off_fmt, buf[e + 4:e + 4 + inline])[0]
+        val_at = e + 4 + inline
         size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            raw = buf[e + 8:e + 8 + size]
+        if size <= inline:
+            raw = buf[val_at:val_at + size]
         else:
-            ptr = struct.unpack(endian + "I", buf[e + 8:e + 12])[0]
+            ptr = struct.unpack(endian + off_fmt,
+                                buf[val_at:val_at + inline])[0]
             raw = buf[ptr:ptr + size]
         if typ in _TYPE_FMT:
             vals = struct.unpack(endian + _TYPE_FMT[typ] * count, raw)
@@ -106,7 +119,7 @@ def _read_ifd_entries(buf, off, endian):
             vals = (raw,)
         entries[tag] = vals
     next_off = struct.unpack(
-        endian + "I", buf[off + 2 + 12 * n:off + 6 + 12 * n])[0]
+        endian + off_fmt, buf[base + esz * n:base + esz * n + inline])[0]
     return entries, next_off
 
 
@@ -254,6 +267,14 @@ def _assemble_pixels(buf, tags, path, endian, w, h, spp, dt, comp,
             return canvas[:, :, :, 0]                    # (spp, h, w)
         return canvas[0]                                 # (h, w, spp)
 
+    if _T_STRIP_OFFSETS not in tags:
+        # neither strips nor tiles: e.g. old-style JPEG TIFF carrying the
+        # pixel data behind JPEGInterchangeFormat (tag 513).  Route to the
+        # PIL fallback (and its clear error taxonomy) instead of a bare
+        # KeyError.
+        raise UnsupportedTiffFeature(
+            f"{path}: no StripOffsets/TileOffsets in the first IFD "
+            f"(old-style JPEG layout?)")
     offsets = tags[_T_STRIP_OFFSETS]
     counts = tags[_T_STRIP_COUNTS]
     rows_per_strip = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
@@ -306,12 +327,23 @@ def read_tiff_header(path: str, buf: bytes):
         endian = ">"
     else:
         raise ValueError(f"{path}: not a TIFF")
-    magic, ifd_off = struct.unpack(endian + "HI", buf[2:8])
-    if magic == 43:
-        raise ValueError(
-            f"{path}: BigTIFF (magic 43) is not supported — convert to "
-            f"classic TIFF (e.g. gdal_translate -co BIGTIFF=NO)")
-    tags, _ = _read_ifd_entries(buf, ifd_off, endian)
+    magic = struct.unpack(endian + "H", buf[2:4])[0]
+    if magic == 42:                               # classic TIFF
+        ifd_off = struct.unpack(endian + "I", buf[4:8])[0]
+        big = False
+    elif magic == 43:                             # BigTIFF
+        off_size, reserved = struct.unpack(endian + "HH", buf[4:8])
+        if off_size != 8 or reserved != 0:
+            raise ValueError(
+                f"{path}: BigTIFF with offset size {off_size} (reserved "
+                f"{reserved}) — only the standard 8-byte layout exists")
+        ifd_off = struct.unpack(endian + "Q", buf[8:16])[0]
+        big = True
+    else:
+        raise ValueError(f"{path}: not a TIFF (magic {magic})")
+    # first IFD only: in GDAL/libtiff products later IFDs are reduced
+    # overviews; the full-resolution raster is IFD 0
+    tags, _ = _read_ifd_entries(buf, ifd_off, endian, big=big)
     return endian, tags
 
 

@@ -11,7 +11,11 @@ satellite_rgb_dep.py:419-427, generate_dataset.py:152-163):
   * layouts those wheels cannot write, from an INDEPENDENT spec-based
     encoder (tests/tiff_fixtures.py): tiled, big-endian, multiband float
     predictor — i.e. what GDAL-written Pléiades crops look like
-  * a BigTIFF that must fail with a clear, actionable message
+  * BigTIFFs (8-byte offsets, LONG8 strip tables) decoded natively and
+    checked against their classic twins; malformed variants fail typed
+  * multi-IFD (overview-bearing) files returning the full-res IFD 0,
+    JPEG-in-TIFF through the typed PIL fallback, uint16 multiband
+    through the --scale per-channel mode
   * a full-strength RPC00B coefficient set fitted to a rigorous
     perspective satellite camera, with golden values from a literal
     spec-term oracle, plus the vendor sidecar formats (_RPC.TXT text,
@@ -147,12 +151,121 @@ def test_geo_tags_from_independent_encoder(tmp_path):
     assert prof.xres == 0.5 and prof.nodata == -9999.0
 
 
-def test_bigtiff_fails_with_clear_message(tmp_path):
+@pytest.mark.parametrize("case", [
+    dict(dtype="float32", shape=(40, 55), compression="none"),
+    dict(dtype="uint16", shape=(33, 47, 3), compression="deflate",
+         rows_per_strip=9),
+    dict(dtype="uint8", shape=(21, 30, 3), compression="none", endian=">"),
+])
+def test_bigtiff_reads_native(tmp_path, case):
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 strip offsets/counts —
+    what GDAL emits for Pléiades mosaics over 4 GB with BIGTIFF=YES)
+    decodes bit-exactly with geo tags intact, matching the classic twin
+    of the same pixels."""
+    rng = np.random.RandomState(7)
+    dt = np.dtype(case["dtype"])
+    shape = case["shape"]
+    if dt.kind == "f":
+        a = (rng.rand(*shape) * 500 - 250).astype(dt)
+    else:
+        a = rng.randint(0, min(np.iinfo(dt).max, 4000), shape).astype(dt)
+    geo = dict(xres=0.5, yres=0.5, ulx=399000.0, uly=5300000.0, epsg=32632)
+    from tiff_fixtures import write_bigtiff_independent
+    pb = write_bigtiff_independent(
+        str(tmp_path / "big.tif"), a,
+        rows_per_strip=case.get("rows_per_strip"),
+        compression=case["compression"], endian=case.get("endian", "<"),
+        geo=geo)
+    pc = write_tiff_independent(
+        str(tmp_path / "classic.tif"), a,
+        rows_per_strip=case.get("rows_per_strip"),
+        compression=case["compression"], endian=case.get("endian", "<"),
+        geo=geo)
+    arr_b, prof_b = read_geotiff(pb)
+    arr_c, prof_c = read_geotiff(pc)
+    assert np.array_equal(arr_b, arr_c)
+    assert (prof_b.epsg, prof_b.ulx, prof_b.uly, prof_b.xres) == \
+           (prof_c.epsg, prof_c.ulx, prof_c.uly, prof_c.xres) == \
+           (32632, 399000.0, 5300000.0, 0.5)
+
+
+def test_bigtiff_empty_and_malformed(tmp_path):
+    """A 0-tag BigTIFF parses as BigTIFF but has no raster (KeyError on
+    ImageWidth is acceptable — it IS malformed); a BigTIFF claiming a
+    non-8 offset size must fail with a clear typed message."""
+    from tiff_fixtures import write_bigtiff_nonstandard_offsets
     p = write_bigtiff_stub(str(tmp_path / "big.tif"))
-    with pytest.raises(ValueError, match="BigTIFF"):
+    with pytest.raises((ValueError, KeyError)):
         read_geotiff(p)
-    with pytest.raises(ValueError, match="BigTIFF"):
-        rpc_mod.rpc_dict_from_geotiff(p)
+    p2 = write_bigtiff_nonstandard_offsets(str(tmp_path / "big4.tif"))
+    with pytest.raises(ValueError, match="offset size"):
+        read_geotiff(p2)
+
+
+def test_overview_bearing_file_reads_full_res(tmp_path):
+    """Multi-IFD files (GDAL .ovr-embedded overviews append reduced
+    rasters as later IFDs): the reader must return IFD 0 — the full-
+    resolution image — and ignore the overviews."""
+    from PIL import Image
+    rng = np.random.RandomState(3)
+    full = rng.randint(0, 255, (64, 96, 3), np.uint8)
+    im = Image.fromarray(full)
+    ov1 = im.resize((48, 32))
+    ov2 = im.resize((24, 16))
+    p = str(tmp_path / "ovr.tif")
+    im.save(p, save_all=True, append_images=[ov1, ov2])
+    arr, prof = read_geotiff(p)
+    assert (prof.height, prof.width) == (64, 96)
+    assert np.array_equal(arr.transpose(1, 2, 0), full)
+
+
+def test_jpeg_in_tiff_decodes_or_types(tmp_path):
+    """JPEG-compressed TIFF (compression 7 — common in delivered
+    Pléiades quicklooks): outside the native slice, so it must route
+    through the PIL fallback and decode to within JPEG loss, or fail
+    with the typed UnsupportedTiffFeature taxonomy — never a bare
+    KeyError/struct error."""
+    from PIL import Image
+    # smooth gradient so JPEG loss stays tiny
+    y, x = np.mgrid[0:64, 0:96]
+    a = np.stack([(x * 2) % 256, (y * 3) % 256, ((x + y)) % 256],
+                 -1).astype(np.uint8)
+    p = str(tmp_path / "jpg.tif")
+    try:
+        Image.fromarray(a).save(p, compression="jpeg", quality=95)
+    except OSError:
+        pytest.skip("PIL lacks libtiff JPEG write support here")
+    arr, prof = read_geotiff(p)
+    assert arr.shape == (3, 64, 96)
+    assert float(np.mean(np.abs(arr.transpose(1, 2, 0).astype(np.int32)
+                                - a.astype(np.int32)))) < 8.0
+
+
+def test_uint16_multiband_per_channel_scale(tmp_path):
+    """A uint16 3-band product (WorldView-style radiometry) through the
+    --scale per-channel minmax mode (scale < 0, satellite_rgb_dep.py:
+    87-105): each channel lands exactly on [0, 1] regardless of its raw
+    dynamic range."""
+    from brdfnerf_tpu.data.satellite import load_rgb
+    rng = np.random.RandomState(5)
+    bands = [rng.randint(120, 890, (40, 50)).astype(np.uint16),
+             rng.randint(1000, 2047, (40, 50)).astype(np.uint16),
+             rng.randint(0, 65535, (40, 50)).astype(np.uint16)]
+    a = np.stack(bands, -1)
+    p = str(tmp_path / "u16rgb.tif")
+    write_tiff_independent(p, a, compression="deflate", predictor=2)
+    img = load_rgb(p, scale=-1.0)                 # per-channel minmax
+    img = img.reshape(40, 50, 3)
+    for c in range(3):
+        assert img[..., c].min() == 0.0 and img[..., c].max() == 1.0
+        # monotone per-channel mapping preserves ordering
+        flat_raw = a[..., c].ravel().astype(np.float64)
+        flat_img = img[..., c].ravel().astype(np.float64)
+        i, j = np.argmin(flat_raw), np.argmax(flat_raw)
+        assert flat_img[i] == 0.0 and flat_img[j] == 1.0
+        expect = (flat_raw - flat_raw.min()) / (flat_raw.max()
+                                                - flat_raw.min())
+        np.testing.assert_allclose(flat_img, expect, atol=1e-6)
 
 
 def test_non_tiff_fails(tmp_path):

@@ -240,11 +240,107 @@ def write_tiff_independent(path: str, array: np.ndarray, *,
 
 def write_bigtiff_stub(path: str) -> str:
     """A minimal structurally-valid BigTIFF header (version 43, 8-byte
-    offsets, empty IFD) — the framework must reject it with a clear
-    message, per the documented classic-TIFF-only contract."""
+    offsets, empty IFD) — parses as BigTIFF with zero tags."""
     with open(path, "wb") as f:
         f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
         f.write(struct.pack("<QQ", 0, 0))   # 0-entry IFD8, no next
+    return path
+
+
+def write_bigtiff_nonstandard_offsets(path: str) -> str:
+    """A BigTIFF header claiming 4-byte offsets — invalid per the BigTIFF
+    note (offset size must be 8); the framework must reject it with a
+    clear message."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
+        f.write(struct.pack("<QQ", 0, 0))
+    return path
+
+
+def write_bigtiff_independent(path: str, array: np.ndarray, *,
+                              rows_per_strip=None,
+                              compression: str = "none",
+                              endian: str = "<", geo: dict = None) -> str:
+    """Write (H, W) or (H, W, C) as a chunky BigTIFF (magic 43, 8-byte
+    offsets, 20-byte IFD entries — TIFF Technical Note: BigTIFF), strip
+    layout, optionally DEFLATE-compressed, either byte order.  Strip
+    offsets/counts use type LONG8 (16) as GDAL's BIGTIFF=YES output does,
+    so the 8-byte-value parsing path is genuinely exercised."""
+    arr = np.asarray(array)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    dt = arr.dtype
+    bps = dt.itemsize
+    fmt = {"f": 3, "i": 2, "u": 1}[dt.kind]
+
+    segments = []
+    rps = rows_per_strip or h
+    for y0 in range(0, h, rps):
+        raw = arr[y0:y0 + rps].astype(dt.newbyteorder(endian)).tobytes()
+        segments.append(_compress(raw, compression))
+
+    comp_id = {"none": 1, "deflate": 8}[compression]
+    entries = [
+        (T_WIDTH, 4, (w,)), (T_HEIGHT, 4, (h,)),
+        (T_BITS, 3, (bps * 8,) * spp),
+        (T_COMPRESSION, 3, (comp_id,)),
+        (T_PHOTOMETRIC, 3, (2 if spp >= 3 else 1,)),
+        (T_STRIP_OFFSETS, 16, (0,) * len(segments)),   # patched in pass 2
+        (T_SPP, 3, (spp,)),
+        (T_ROWS_PER_STRIP, 4, (rps,)),
+        (T_STRIP_COUNTS, 16, tuple(len(s) for s in segments)),
+        (T_PLANAR, 3, (1,)),
+        (T_SAMPLE_FORMAT, 3, (fmt,) * spp),
+    ]
+    if geo:
+        entries.append((T_PIXEL_SCALE, 12,
+                        (float(geo["xres"]), float(geo["yres"]), 0.0)))
+        entries.append((T_TIEPOINT, 12,
+                        (0.0, 0.0, 0.0, float(geo["ulx"]),
+                         float(geo["uly"]), 0.0)))
+        entries.append((T_GEO_KEYS, 3,
+                        (1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1,
+                         3072, 0, 1, int(geo["epsg"]))))
+    entries.sort(key=lambda e: e[0])
+
+    type_fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}
+    n = len(entries)
+    ifd_off = 16
+    heap_base = ifd_off + 8 + 20 * n + 8
+
+    def pack(tag, typ, vals, heap):
+        count = len(vals)
+        payload = struct.pack(endian + type_fmt[typ] * count, *vals)
+        if len(payload) <= 8:
+            return (struct.pack(endian + "HHQ", tag, typ, count)
+                    + payload.ljust(8, b"\0"), heap)
+        ptr = heap_base + len(heap)
+        return (struct.pack(endian + "HHQQ", tag, typ, count, ptr),
+                heap + payload.ljust((len(payload) + 1) // 2 * 2, b"\0"))
+
+    for _attempt in range(2):            # pass 1 sizes the heap
+        heap = b""
+        packed = []
+        for tag, typ, vals in entries:
+            b, heap = pack(tag, typ, vals, heap)
+            packed.append(b)
+        data_off = heap_base + len(heap)
+        offs, pos = [], data_off
+        for s in segments:
+            offs.append(pos)
+            pos += len(s) + (len(s) & 1)
+        entries = [(t, ty, tuple(offs) if t == T_STRIP_OFFSETS else v)
+                   for (t, ty, v) in entries]
+    with open(path, "wb") as f:
+        f.write(struct.pack(endian + "2sHHHQ",
+                            b"II" if endian == "<" else b"MM",
+                            43, 8, 0, ifd_off))
+        f.write(struct.pack(endian + "Q", n) + b"".join(packed))
+        f.write(struct.pack(endian + "Q", 0))
+        f.write(heap)
+        for s in segments:
+            f.write(s + (b"\0" if len(s) & 1 else b""))
     return path
 
 
