@@ -365,14 +365,32 @@ def apply_network_with_normals(params, cfg: ModelConfig, xyz,
         if not kernel_supports(grad_cfg):
             fused_trunk = False
     if fused_trunk:
+        # MEASURED NEGATIVE (round 5, kept behind BRDFNERF_FUSED_HEADS=1
+        # with full parity tests): folding the flagship head block INTO
+        # the trunk custom-VJP kernel pair (ops/pallas_trunk_heads.py —
+        # head activations/cotangents VMEM-resident, feats round-trip
+        # deleted, packed (N, 8) logit I/O) ran 37.6 ms/step vs 33.2 for
+        # XLA-side heads: the head recompute + extra accumulators in the
+        # SEQUENTIAL backward kernel cost more pipeline overlap than the
+        # ~1.5 ms of saved HBM streams bought.  Round 2's separate-pair
+        # attempt lost for a different reason (thin-dot launch overhead);
+        # together they pin the conclusion that XLA owns this head block
+        # on v5e.
+        import os as _os
+        if _os.environ.get("BRDFNERF_FUSED_HEADS"):
+            from ..ops.pallas_trunk_heads import (heads_kernel_supports,
+                                                  fused_trunk_heads_with_grad)
+            if heads_kernel_supports(grad_cfg, params, dirs=dirs,
+                                     t_emb=t_emb, apply_brdf=apply_brdf,
+                                     apply_theta=apply_theta, nr_lr=nr_lr):
+                return fused_trunk_heads_with_grad(params, grad_cfg, xyz)
         from ..ops.pallas_trunk_vjp import fused_trunk_with_grad
         sigma, feats, grad_x = fused_trunk_with_grad(params, grad_cfg, xyz)
         out: Dict[str, jnp.ndarray] = {"sigma": sigma}
         out["normal_an"] = -l2_normalize(grad_x.astype(jnp.float32))
-        # the head block deliberately stays on XLA: a fused Pallas head
-        # kernel pair was built and measured 2 ms SLOWER than XLA's own
-        # fusion of these thin [F, F/2, out] MLPs (47.7 vs 45.6 ms/step
-        # flagship) — see BASELINE.md round-2 notes
+        # the head block deliberately stays on XLA over the kernel's
+        # feats output (both fused-head forms measured slower: round-2
+        # negative result 1 and the round-5 note above)
         return _heads_from_feats(out, params, cfg, feats, dirs, sun_d,
                                  t_emb, apply_brdf, apply_theta, nr_lr)
 
@@ -397,7 +415,12 @@ def _merged_sigmoid_heads(params, cfg: ModelConfig, x, names):
     pair of matmuls replaces 2*len(names) small ops (each of which costs
     ~2x its roofline in launch/fusion overhead on TPU).  Gradients flow
     through the concat/at.set assembly back to the per-head parameters.
-    Returns one (N, out_dim_i) array per name."""
+    Returns one (N, out_dim_i) array per name.
+
+    Kept as ONE function on purpose: a round-5 refactor that sliced the
+    merged hidden per head and re-concatenated for the second layer left
+    an uncanceled split/concat pair in the compiled step (~0.3 ms at
+    flagship shapes) — the hidden must flow whole from layer 1 to 2."""
     l1 = [params[n][0] for n in names]
     l2 = [params[n][1] for n in names]
     hids = [p["w"].shape[1] for p in l1]
@@ -428,7 +451,8 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
                       apply_brdf: bool = False, apply_theta: bool = False,
                       nr_lr: bool = False) -> Dict[str, jnp.ndarray]:
     xyz_features = _linear(params["feats_from_xyz"][0], feats, cfg.compute_dtype)
-    if cfg.input_sizes[1] > 0 and dirs is not None:
+    rgb_uses_dirs = cfg.input_sizes[1] > 0 and dirs is not None
+    if rgb_uses_dirs:
         enc_dir = (positional_encoding(dirs, cfg.mapping_sizes[1],
                                        fast=cfg.fast_sin)
                    if cfg.mapping else dirs)
@@ -436,18 +460,22 @@ def _heads_from_feats(out: Dict, params, cfg: ModelConfig, feats,
     else:
         rgb_in = xyz_features
 
-    out["rgb"] = _head(params, cfg, "rgb_from_xyzdir", rgb_in, final="sigmoid")
-
     # merged-head fast path for RPV(111): the three RPV heads are
     # identical 2-layer sigmoid-final MLPs over xyz_features, so they
     # evaluate as ONE matmul pair (_merged_sigmoid_heads); per-slice math
-    # unchanged.  Folding the rgb head in too was measured neutral (the
-    # block-diagonal's off-diagonal zeros add backward FLOPs that cancel
-    # the op-count saving), so rgb stays separate.
+    # unchanged.  The rgb head stays SEPARATE: folding it into the
+    # block-diagonal second layer was measured neutral in round 2
+    # (negative result 6), and merging only its FIRST layer into the
+    # concat (separate second layers over slices of the merged hidden)
+    # was re-tried in round 5 and measured +1.0 ms/step at flagship
+    # shapes (33.5 -> 34.5 ms) — the hidden-slice consumers cost more
+    # than the deduped dy/bias-grad streams save.
     rpv_names = ("k_from_xyz", "theta_rpv_from_xyz", "rhoc_from_xyz")
     merged_rpv = (apply_brdf and cfg.rpv and cfg.func_m and cfg.func_f
                   and cfg.func_h == 1
                   and all(len(params.get(n, ())) == 2 for n in rpv_names))
+    out["rgb"] = _head(params, cfg, "rgb_from_xyzdir", rgb_in,
+                       final="sigmoid")
 
     if "sun_v_net" in params and sun_d is not None:
         out["sun_v"] = _sun_v_head(params, cfg, xyz_features, sun_d)

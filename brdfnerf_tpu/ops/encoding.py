@@ -31,12 +31,20 @@ import jax.numpy as jnp
 
 
 @lru_cache(maxsize=None)
-def _proj_and_phase(n_freqs: int, in_ch: int):
+def _proj_and_phase(n_freqs: int, in_ch: int, pad_to: int = 0):
     """NumPy constants only — caching jnp arrays would leak tracers when
-    the first call happens under jit."""
+    the first call happens under jit.
+
+    pad_to: minimum output width — extra columns are zero in both P and
+    phase, so the padded encoding lanes are exactly sin(0) = 0.  The fused
+    trunk kernels consume lane-aligned (128-multiple) inputs; producing
+    the encoding at the padded width directly lets the pad ride the
+    encoding fusion instead of materializing as a separate ~100 MB pad op
+    before each kernel call (profiled at ~0.5 ms/step at flagship shapes).
+    """
     width = 2 * n_freqs * in_ch
-    p = np.zeros((in_ch, width), np.float32)
-    phase = np.zeros((width,), np.float32)
+    p = np.zeros((in_ch, max(width, pad_to)), np.float32)
+    phase = np.zeros((max(width, pad_to),), np.float32)
     for f in range(n_freqs):
         base = f * 2 * in_ch
         for c in range(in_ch):
@@ -47,7 +55,7 @@ def _proj_and_phase(n_freqs: int, in_ch: int):
 
 
 def positional_encoding(x: jnp.ndarray, n_freqs: int,
-                        fast: bool = False) -> jnp.ndarray:
+                        fast: bool = False, pad_to: int = 0) -> jnp.ndarray:
     """Encode x (..., C) -> (..., 2*n_freqs*C), identity term excluded.
 
     Layout per the reference loop order: for each freq f in (1,2,4,...):
@@ -57,10 +65,14 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int,
     error) — the encoding is sine-bound on TPU (the K=3 matmul is tiny),
     and models with ModelConfig.fast_sin pass fast=True so the XLA path
     uses the same polynomial as the fused kernels' in-kernel encoding.
+
+    pad_to: emit at least this output width, extra lanes identically 0
+    (see _proj_and_phase) — for feeding the lane-aligned fused kernels
+    without a separate pad op.  No effect when n_freqs == 0.
     """
     if n_freqs == 0:
         return x
-    p, phase = _proj_and_phase(n_freqs, x.shape[-1])
+    p, phase = _proj_and_phase(n_freqs, x.shape[-1], pad_to)
     # precision='highest': the widening matmul must NOT round x to bf16
     # (TPU default matmul precision) — a 2e-3 coordinate rounding becomes
     # a ~1 rad phase error at the 2^9 band, staircasing the

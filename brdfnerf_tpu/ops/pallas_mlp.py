@@ -149,7 +149,9 @@ def _trunk_kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref,
         feats_refs[0][:] = h
     sig = jnp.dot(h, wsig_ref[:],
                   preferred_element_type=jnp.float32) + bsig_ref[:]
-    sigma_ref[:] = jax.nn.softplus(sig)
+    # one-column sigma output: the LANE-wide layout wrote (and its
+    # consumer re-read) 127 dead lanes per point
+    sigma_ref[:] = jax.nn.softplus(sig[:, 0:1])
 
 
 def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
@@ -172,7 +174,11 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
     n, ein = x_enc.shape
     ein_p = _round_up(ein, LANE)
     n_p = _round_up(max(n, TILE_N), TILE_N)
-    x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(x_enc)
+    if n == n_p and ein == ein_p:
+        # already lane/tile-aligned (padded-encoding callers): no pad op
+        x = x_enc.astype(jnp.float32)
+    else:
+        x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(x_enc)
     feat = cfg.feat
 
     grid = (n_p // TILE_N,)
@@ -185,9 +191,9 @@ def fused_trunk_sigma(params: Dict, cfg: ModelConfig, x_enc: jnp.ndarray,
     # custom-VJP fwd kernel; lets Mosaic pipeline tiles without ordering)
     params_tpu = (None if interpret else
                   pltpu.CompilerParams(dimension_semantics=("parallel",)))
-    out_specs = [pl.BlockSpec((TILE_N, LANE), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((n_p, LANE), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((n_p, 1), jnp.float32)]
     if want_feats:
         out_specs.append(pl.BlockSpec((TILE_N, feat), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -220,8 +226,15 @@ def fused_sigma_fn(params: Dict, cfg: ModelConfig, xyz: jnp.ndarray,
                    interpret=None) -> jnp.ndarray:
     """Drop-in for models.network.sigma_fn on no-grad paths."""
     from .encoding import positional_encoding
-    enc = (positional_encoding(xyz, cfg.mapping_sizes[0], fast=cfg.fast_sin)
-           if cfg.mapping else xyz)
+    if cfg.mapping and cfg.mapping_sizes[0] > 0:
+        # emit the encoding at the kernel's lane width directly (padded
+        # lanes are sin(0) = 0) — the pad rides the encoding fusion
+        # instead of a separate ~35 MB copy per sigma pass
+        ein_p = _round_up(2 * cfg.mapping_sizes[0] * xyz.shape[-1], LANE)
+        enc = positional_encoding(xyz, cfg.mapping_sizes[0],
+                                  fast=cfg.fast_sin, pad_to=ein_p)
+    else:
+        enc = xyz
     sigma, _ = fused_trunk_sigma(params, cfg, enc, interpret=interpret,
                                  want_feats=False)
     return sigma

@@ -64,8 +64,12 @@ from .pallas_mlp import pack_trunk_weights, _round_up, LANE
 # shapes (8x512 trunk, 131k points): 128 -> 47.9 ms/step, 512 -> 47.1,
 # 1024 -> 45.5, 256 -> 45.1 (best; deep-enough grid to pipeline the
 # per-tile weight reads against compute while keeping the doubled
-# primal+tangent state small in VMEM)
-TILE_N = 256
+# primal+tangent state small in VMEM).  Re-swept in round 5 after the
+# saved-zs/bf16-stream changes shifted the balance: 256 still best
+# (512 -> +1.6 ms, 128 -> +2.7 ms on the 33.2 ms flagship step).  The
+# env knob exists for sweeps on new hardware; the default is the
+# measured winner.
+TILE_N = int(__import__("os").environ.get("BRDFNERF_TRUNK_TILE", "256"))
 
 
 # ------------------------------------------------------------- activations
@@ -195,7 +199,9 @@ def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
                                           fast, od)
     lane_mask = (jax.lax.broadcasted_iota(jnp.int32, zsig.shape, 1)
                  == 0).astype(jnp.float32)
-    sigma_ref[:] = _softplus(zsig) * lane_mask
+    # sigma leaves as ONE column: the LANE-wide layout wrote (and its
+    # consumer re-read) 67 MB of zeros per 131k-point pass
+    sigma_ref[:] = _softplus(zsig[:, 0:1])
     feats_ref[:] = hs[-1].astype(feats_ref.dtype)
     gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren, fast,
                             od, lane_mask)
@@ -217,7 +223,7 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
               "w_sigma": wsig_r[:], "b_sigma": bsig_r[:]}
     x = x_ref[:]
     t = cg_ref[:]                                    # tangent = c_g
-    cs = cs_ref[:]                                   # (T, LANE), col 0 real
+    cs = cs_ref[:]                                   # (T, 1), broadcasts
 
     # 1) primal state from the pre-activations the fwd kernel saved —
     # skips the 8-matmul primal recompute (~17% of this kernel's FLOPs);
@@ -327,8 +333,12 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
     ein_p = packed["w0"].shape[0]
     feat = cfg.feat
     n_p = _round_up(max(n, TILE_N), TILE_N)
-    x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(
-        x_enc.astype(jnp.float32))
+    if n == n_p and ein == ein_p:
+        # already lane/tile-aligned (the padded-encoding path): no pad op
+        x = x_enc.astype(jnp.float32)
+    else:
+        x = jnp.zeros((n_p, ein_p), jnp.float32).at[:n, :ein].set(
+            x_enc.astype(jnp.float32))
     grid = (n_p // TILE_N,)
     kern = functools.partial(_fwd_kernel, layers=layers, skip=skip,
                              siren=siren, fast=fast, od=od)
@@ -343,12 +353,12 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
                   pltpu.CompilerParams(
                       vmem_limit_bytes=100 * 1024 * 1024,
                       dimension_semantics=("parallel",)))
-    out_specs = [row(LANE), row(feat), row(ein_p)]
+    out_specs = [row(1), row(feat), row(ein_p)]
     # feats leave the kernel in the activation-storage dtype: under
     # bfloat16_all the XLA trunk also hands bf16 feats to the heads,
     # and f32 here would force a 268 MB convert before every head
     # matmul at flagship shapes
-    out_shape = [jax.ShapeDtypeStruct((n_p, LANE), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
                  jax.ShapeDtypeStruct(
                      (n_p, feat),
                      jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
@@ -379,7 +389,12 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
       packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
       packed["w_sigma"], packed["b_sigma"])
     sigma, feats, gx = outs[0], outs[1], outs[2]
-    res = (sigma[:n, 0], feats[:n], gx[:n, :ein])
+    # gx keeps the kernel's ein_p lane width (padded lanes are exactly 0:
+    # w0/w_skip_top pad rows are zero, so the grad chain writes zeros
+    # there).  Slicing to ein here would make the VJP's cotangent a pad op
+    # (~0.2 ms of pure copy per call at flagship shapes); callers chain
+    # the encoding jacobian at the padded width instead.
+    res = (sigma[:n, 0], feats[:n], gx[:n])
     if want_zs:
         return res + (outs[3],)      # zs stays padded (kernel-layout)
     return res
@@ -396,11 +411,17 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
     n_p = _round_up(max(n, TILE_N), TILE_N)
 
     def padrow(v, cols):
+        if v.shape == (n_p, cols):        # already aligned: no pad op
+            return v.astype(jnp.float32)
         out = jnp.zeros((n_p, cols), jnp.float32)
         return out.at[:n, :v.shape[1]].set(v.astype(jnp.float32))
 
     x = padrow(x_enc, ein_p)
-    cs = padrow(c_sigma[:, None], LANE)     # col 0; padded rows/cols zero
+    # c_sigma stays a single column: a (n, 1) HBM stream (0.5 MB) where a
+    # LANE-padded layout cost a 67 MB scatter/pad + kernel read at
+    # flagship shapes; the kernel broadcasts it against the lane-masked
+    # zsig block in VMEM
+    cs = padrow(c_sigma[:, None], 1)
     # c_feats stays in its arriving dtype (bf16 when feats left the fwd
     # kernel as bf16): converting the 131k x 512 cotangent to f32 in XLA
     # costs ~0.6 ms at flagship shapes, and the kernel upcasts on use
@@ -423,7 +444,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
                   pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
-        in_specs=[row(ein_p), row(LANE), row(feat), row(ein_p),
+        in_specs=[row(ein_p), row(1), row(feat), row(ein_p),
                   row(layers * feat),
                   full((ein_p, feat)), full((feat,)),
                   full((n_mid, feat, feat)), full((n_mid, feat)),
@@ -500,7 +521,11 @@ def _trunk_core_bwd(cfg, res, cots):
     c_sigma, c_feats, c_g = cots
     packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
     outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g, zs)
-    d_params = _unpack_grads(cfg, x_enc.shape[-1], outs)
+    # the real encoding width comes from the PARAMS (x_enc may arrive
+    # lane-padded on the padded-encoding path; its pad lanes are zero so
+    # dw0/dwst pad rows are zero and slice away exactly)
+    d_params = _unpack_grads(cfg, params_sub["fc_net"][0]["w"].shape[0],
+                             outs)
     return d_params, jnp.zeros_like(x_enc)
 
 
@@ -516,7 +541,15 @@ def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
     sub = {"fc_net": params["fc_net"],
            "sigma_from_xyz": params["sigma_from_xyz"]}
     if cfg.mapping:
-        p, phase = _proj_and_phase(cfg.mapping_sizes[0], xyz.shape[-1])
+        # constants at the kernel's lane-padded width: padded lanes of the
+        # encoding are exactly sin(0) = 0 (zero P columns + zero phase), so
+        # neither a pad before the kernel nor a slice of its gx output
+        # materializes — the gx jacobian chain runs at width ein_p with the
+        # pad lanes killed by pm's zero rows (profiled: the pad/slice pair
+        # cost ~0.5 ms/step at flagship shapes)
+        ein_p = _round_up(2 * cfg.mapping_sizes[0] * xyz.shape[-1], LANE)
+        p, phase = _proj_and_phase(cfg.mapping_sizes[0], xyz.shape[-1],
+                                   pad_to=ein_p)
         pm = jnp.asarray(p)
         # precision='highest': see ops/encoding.py — the default TPU
         # matmul precision would round xyz to bf16 and staircase the
@@ -538,5 +571,5 @@ def fused_trunk_with_grad(params: Dict, cfg: ModelConfig, xyz):
     else:
         sigma, feats, gx_enc = trunk_core(
             cfg, sub, jax.lax.stop_gradient(xyz))
-        gx = gx_enc
+        gx = gx_enc[:, :xyz.shape[-1]]   # kernel returns lane-padded width
     return sigma, feats, gx

@@ -165,3 +165,58 @@ def test_sample_pdf_blocked_lookup_equal():
                 k, b, ww, 64, det=det, max_lookup_elems=4096))
             np.testing.assert_allclose(np.asarray(jitted(key, bins, w)),
                                        np.asarray(ref), atol=1.5e-7, rtol=0)
+
+
+def test_padded_positional_encoding_lanes_are_zero():
+    """pad_to emits extra lanes that are exactly 0 (zero P columns + zero
+    phase -> sin(0)), with the real lanes bit-identical to the unpadded
+    encoding — the contract the fused trunk kernels rely on to skip their
+    input pad / output slice."""
+    x = np.random.RandomState(1).randn(7, 3).astype(np.float32)
+    n_freqs = 10
+    w = 2 * n_freqs * 3
+    enc = np.asarray(positional_encoding(jnp.asarray(x), n_freqs))
+    encp = np.asarray(positional_encoding(jnp.asarray(x), n_freqs,
+                                          pad_to=128))
+    assert encp.shape == (7, 128)
+    np.testing.assert_array_equal(encp[:, :w], enc)
+    np.testing.assert_array_equal(encp[:, w:], 0.0)
+
+
+def test_merged_rpv_head_path_matches_per_head():
+    """The flagship fast path evaluates the three RPV(111) heads as ONE
+    concatenated first layer + block-diagonal second layer; every output
+    (and the separately-evaluated rgb head) must equal the plain per-head
+    _head evaluation.  (Folding rgb's first layer into the merge was
+    re-tried in round 5 and measured +1.0 ms/step — reverted; this test
+    pins whatever merge layout is active against the per-head math.)"""
+    from brdfnerf_tpu.config import ModelConfig
+    from brdfnerf_tpu.models.network import (
+        init_network, apply_network, _trunk_features, _linear, _head)
+
+    cfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                      layers=4, feat=64, skips=(2,),
+                      func_m=True, func_f=True, func_h=1, dim_rpv=1)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (96, 3))
+                    .astype(np.float32))
+    out = apply_network(params, cfg, x, apply_brdf=True)
+
+    feats = _trunk_features(params, cfg, x)
+    xf = _linear(params["feats_from_xyz"][0], feats, cfg.compute_dtype)
+
+    def tile3(v):
+        return jnp.tile(v, (1, 3)) if v.shape[-1] == 1 else v
+
+    exp = {
+        "rgb": _head(params, cfg, "rgb_from_xyzdir", xf, final="sigmoid"),
+        "rpv_k": tile3((_head(params, cfg, "k_from_xyz", xf,
+                              final="sigmoid") - 0.5) * 2.0 + 1.0),
+        "rpv_theta": tile3((_head(params, cfg, "theta_rpv_from_xyz", xf,
+                                  final="sigmoid") - 0.5) * 2.0),
+        "rpv_rhoc": tile3(_head(params, cfg, "rhoc_from_xyz", xf,
+                                final="sigmoid")),
+    }
+    for k, v in exp.items():
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(v),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

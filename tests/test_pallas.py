@@ -319,3 +319,87 @@ def test_render_with_pallas_sigma_pass():
     np.testing.assert_allclose(np.asarray(out_p["depth_coarse"]),
                                np.asarray(out_x["depth_coarse"]),
                                atol=1e-4, rtol=1e-4)
+
+
+# --------------------------------------- fused trunk+heads custom VJP
+
+def _flagship_head_cfg(**over):
+    kw = dict(variant="spsbrdf-nerf", siren=True, mapping=True,
+              func_m=True, func_f=True, func_h=1, dim_rpv=1,
+              normal="analystic", layers=4, feat=128, skips=(2,),
+              compute_dtype="float32")
+    kw.update(over)
+    return ModelConfig(**kw)
+
+
+@pytest.mark.parametrize("fast_sin", [True, False])
+def test_fused_heads_forward_parity(fast_sin, monkeypatch):
+    """apply_network_with_normals dispatches flagship configs to the
+    trunk+heads kernel pair (opt-in: the path measured SLOWER on v5e and
+    is gated behind BRDFNERF_FUSED_HEADS — see pallas_trunk_heads);
+    every named output must match the pure-XLA path (fused_trunk=False)
+    bit-for-tolerance."""
+    monkeypatch.setenv("BRDFNERF_FUSED_HEADS", "1")
+    from brdfnerf_tpu.models.network import apply_network_with_normals
+    from brdfnerf_tpu.ops.pallas_trunk_heads import heads_kernel_supports
+    cfg = _flagship_head_cfg(fast_sin=fast_sin)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    assert heads_kernel_supports(cfg, params, apply_brdf=True)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (70, 3), minval=-1.0,
+                             maxval=1.0)
+    got = apply_network_with_normals(params, cfg, xyz, apply_brdf=True,
+                                     fused_trunk=True)
+    ref = apply_network_with_normals(params, cfg, xyz, apply_brdf=True,
+                                     fused_trunk=False)
+    assert set(got) == set(ref), (set(got), set(ref))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=5e-5, rtol=5e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("layers,skip", [(4, 2), (8, 4)])
+def test_fused_heads_gradient_parity(layers, skip, monkeypatch):
+    """Full-parameter gradient parity of the trunk+heads kernel pair vs
+    XLA autodiff, through a loss touching EVERY head output (rgb, RPV
+    k/theta/rhoc, sigma, analytic normal) — i.e. the complete flagship
+    cotangent surface, including the head->a_h seed into the trunk's
+    second-order reverse sweep."""
+    monkeypatch.setenv("BRDFNERF_FUSED_HEADS", "1")
+    from brdfnerf_tpu.models.network import apply_network_with_normals
+    cfg = _flagship_head_cfg(layers=layers, skips=(skip,))
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    n = 70
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-1.0,
+                             maxval=1.0)
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    cots = {
+        "sigma": jax.random.normal(ks[0], (n,)),
+        "rgb": jax.random.normal(ks[1], (n, 3)),
+        "rpv_k": jax.random.normal(ks[2], (n, 3)),
+        "rpv_theta": jax.random.normal(ks[3], (n, 3)),
+        "rpv_rhoc": jax.random.normal(ks[4], (n, 3)),
+        "normal_an": jax.random.normal(ks[5], (n, 3)),
+    }
+
+    def loss(p, fused):
+        out = apply_network_with_normals(p, cfg, xyz, apply_brdf=True,
+                                         fused_trunk=fused)
+        return sum(jnp.sum(c * out[k]) for k, c in cots.items())
+
+    v_r, g_r = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v_f), float(v_r), atol=1e-3, rtol=1e-4)
+
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+    checked = 0
+    for k, v_ref in jax.tree_util.tree_leaves_with_path(g_r):
+        ks_ = jax.tree_util.keystr(k)
+        v_got = flat_f[ks_]
+        scale = max(float(jnp.max(jnp.abs(v_ref))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_got), np.asarray(v_ref),
+            atol=3e-4 * scale, rtol=3e-3, err_msg=ks_)
+        checked += 1
+    # every trunk layer + sigma + feats + rgb(2) + 3 RPV heads(2 each)
+    assert checked >= 2 * (layers + 1 + 1 + 2 + 6)

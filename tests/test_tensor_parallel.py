@@ -252,3 +252,58 @@ def test_tp_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(res_tp["depth_coarse"]),
                                np.asarray(res1["depth_coarse"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tp_scaled_trunk_converges_on_mesh():
+    """TP at the scale it exists FOR (parallel/tensor.py module note): a
+    12-layer 2048-wide trunk — ~50 M trunk params, 24x the reference
+    trunk, past single-chip comfort once Adam state and activations are
+    added — trains on the 2x4 (data, model) mesh: the loss drops, every
+    trunk layer's weights live 'model'-sharded before AND after updates
+    (each device holds a 1/4 column or row slice), and a training step
+    keeps the layout (no silent re-replication by the jit).
+
+    The memory economics this enables are quantified in
+    examples/tp_memory_analysis.py (BASELINE.md 'Tensor parallelism'
+    row); this test pins the capability itself at depth."""
+    mcfg = ModelConfig(variant="spsbrdf-nerf", siren=True, mapping=True,
+                       layers=12, feat=2048, skips=(4,), normal="none")
+    rcfg = RenderConfig(n_samples=4, guided_samples=0, apply_brdf=False,
+                        fused_trunk=False, use_pallas=False)
+    tcfg = TrainConfig(lr=3e-4, batch_size=16)
+    mesh = tp_mesh(2, 4)
+
+    state, opt = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg, 100)
+    shs = state_shardings(mesh, state, skips=mcfg.skips)
+    state = shard_state(mesh, state, skips=mcfg.skips)
+
+    # layout: column-parallel on even + skip layers, row-parallel on odd
+    fc = state.params["coarse"]["fc_net"]
+    for i, layer in enumerate(fc):
+        col = (i % 2 == 0) or (i in mcfg.skips)
+        want = P(None, "model") if col else P("model", None)
+        assert layer["w"].sharding.spec == want, (i, layer["w"].sharding)
+        local = layer["w"].addressable_shards[0].data
+        full = layer["w"].shape
+        assert local.shape == ((full[0], full[1] // 4) if col
+                               else (full[0] // 4, full[1])), (i, local.shape)
+
+    step = make_train_step(mcfg, rcfg, tcfg, opt, mesh=mesh,
+                           state_shardings=shs)
+    key = jax.random.PRNGKey(7)
+    # fixed-batch overfit: measured trajectory at this scale/lr drops
+    # 0.086 -> 0.004 by step 30 (bounces at chance with per-step random
+    # batches — there is nothing to generalize on noise targets)
+    b = shard_batch(mesh, {k: jnp.asarray(v)
+                           for k, v in _batch(16, seed=0).items()})
+    losses = []
+    for _ in range(30):
+        state, m = step(state, b, replicate(mesh, key),
+                        replicate(mesh, _gates()))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < 0.15 * losses[0], losses
+    # updates preserved the sharded layout
+    w = state.params["coarse"]["fc_net"][1]["w"]
+    assert w.sharding.spec == P("model", None)
+    assert w.addressable_shards[0].data.shape == (2048 // 4, 2048)

@@ -458,7 +458,13 @@ def test_hotspot_observability_warning(store, tmp_path, capsys):
     assert capsys.readouterr().out == ""
 
     # and the Trainer wires it: constructing a run that fits rhoc on the
-    # hotspot-free store prints the warning once
+    # hotspot-free store prints the warning once.  The Trainer passes
+    # once=True (one print per (geometry, params) per PROCESS, so bench's
+    # repeated constructions don't spam driver artifacts) — reset the
+    # process-level memo so this assertion is order-independent when other
+    # tests in the session already fired the same signature.
+    import brdfnerf_tpu.analysis as _analysis
+    _analysis._WARNED_UNOBSERVABLE.clear()
     from brdfnerf_tpu.train import Trainer, TrainerPaths
     cfg = RunConfig(model=rpv,
                     render=RenderConfig(n_samples=8, guided_samples=8,
