@@ -442,8 +442,15 @@ def test_normal_at_surface_fidelity_bound(tmp_path):
     # exact mode holds its measured band (regression guard on the
     # per-sample-normal path itself)
     assert exact < 5.0, exact
-    # the acceleration's degradation stays bounded: measured mean ratio
-    # 1.7-2.1 across seed subsets; 2.9 = regression alarm, not seed noise
+    # the acceleration's degradation stays bounded: a round-5 4-seed
+    # PAIRED study measured per-seed ratios 1.44-2.76 (mean 2.07) —
+    # the seed spread is intrinsic training noise, so pairing cannot
+    # justify a much tighter upper bound; 2.9 = regression alarm.
     assert surf < 2.9 * exact, (surf, exact)
+    # LOWER bound (round 5): the exact path being genuinely better is
+    # the property under guard — if a regression broke the per-sample
+    # normal (ratio -> ~1), this trips.  Measured seed-0/1 mean ratio
+    # 2.03, min single-seed ratio 1.44; 1.15 sits well below both.
+    assert surf > 1.15 * exact, (surf, exact)
     # and both recover shape well inside the +/-15 m bump amplitude
     assert surf < BUMP_AMP * 0.75, surf
