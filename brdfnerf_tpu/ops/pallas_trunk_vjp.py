@@ -34,6 +34,11 @@ plain first-order reverse sweep over the doubled (primal, tangent) state:
     db  += sum_rows a_z
     a_h_prev = a_z W^T ;  b_th_prev = b_tz W^T
 
+(the b_th chain is seeded with sigmoid(zsig)*mask and follows the same
+recurrence as the forward kernel's d sigma/d x chain, so the fwd kernel
+saves its states and the backward loads them instead of recomputing —
+one fewer 512-wide matmul per layer in this kernel)
+
 seeded at the sigma head with a = c_sigma*softplus'(zs) + softplus''(zs)*tzs
 and b = softplus'(zs), plus c_feats added to a_h_{L-1}.
 
@@ -161,10 +166,19 @@ def _forward_chain(x, packed, layers: int, skip: int, siren: bool,
 
 
 def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
-                fast: bool, od, lane_mask):
-    """g = d sigma / d x via reverse sweep (first-order, x cotangent only)."""
+                fast: bool, od, lane_mask, collect: bool = False):
+    """g = d sigma / d x via reverse sweep (first-order, x cotangent only).
+
+    collect=True additionally returns the per-layer chain states u_i (the
+    value of u seen AT layer i, i.e. before the d1s[i] multiply).  These
+    are exactly the b_th states of the backward kernel's second-order
+    sweep (its b chain is seeded with sigmoid(zsig)*mask and follows the
+    identical recurrence), so saving them here lets the backward kernel
+    drop one matmul per layer of pure recompute."""
     u = jax.nn.sigmoid(zsig) * lane_mask            # (T, LANE), col 0 real
     u = _mm_t(u, packed["w_sigma"], od)             # (T, F)
+    us = [None] * layers
+    us[layers - 1] = u
     gx = None
     mid = layers - 3                                 # last mid index
     for i in range(layers - 1, -1, -1):
@@ -176,9 +190,13 @@ def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
             c = _mm_t(g, packed["w_skip_top"], od)
             gx = c if gx is None else gx + c
             u = _mm_t(g, packed["w_skip_bot"], od)
+            us[i - 1] = u
         else:
             u = _mm_t(g, packed["w_mid"][mid], od)
+            us[i - 1] = u
             mid -= 1
+    if collect:
+        return gx, us
     return gx
 
 
@@ -187,9 +205,10 @@ def _grad_chain(x, packed, d1s, zsig, layers: int, skip: int, siren: bool,
 def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
                 wsig_r, bsig_r, sigma_ref, feats_ref, gx_ref, *zs_refs,
                 layers: int, skip: int, siren: bool, fast: bool, od):
-    """zs_refs is (zs_ref,) when the wrapper wants the per-layer
-    pre-activations saved for the backward kernel (training), () on
-    no-grad paths (eval/serving pays no extra HBM write)."""
+    """zs_refs is (zs_ref, us_ref) when the wrapper wants the per-layer
+    pre-activations AND grad-chain states saved for the backward kernel
+    (training), () on no-grad paths (eval/serving pays no extra HBM
+    write)."""
     packed = {"w0": w0_r[:], "b0": b0_r[:], "w_mid": wm_r[:],
               "b_mid": bm_r[:], "w_skip_top": wst_r[:],
               "w_skip_bot": wsb_r[:], "b_skip": bs_r[:],
@@ -203,16 +222,22 @@ def _fwd_kernel(x_ref, w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r,
     # consumer re-read) 67 MB of zeros per 131k-point pass
     sigma_ref[:] = _softplus(zsig[:, 0:1])
     feats_ref[:] = hs[-1].astype(feats_ref.dtype)
-    gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren, fast,
-                            od, lane_mask)
     if zs_refs:
+        gx, us = _grad_chain(x, packed, d1s, zsig, layers, skip, siren,
+                             fast, od, lane_mask, collect=True)
+        gx_ref[:] = gx
         zs_refs[0][:] = jnp.concatenate(zs, axis=-1).astype(
             zs_refs[0].dtype)
+        zs_refs[1][:] = jnp.concatenate(us, axis=-1).astype(
+            zs_refs[1].dtype)
+    else:
+        gx_ref[:] = _grad_chain(x, packed, d1s, zsig, layers, skip, siren,
+                                fast, od, lane_mask)
 
 
 # ------------------------------------------------------------ bwd kernel
 
-def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
+def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref, us_ref,
                 w0_r, b0_r, wm_r, bm_r, wst_r, wsb_r, bs_r, wsig_r, bsig_r,
                 dw0_ref, db0_ref, dwm_ref, dbm_ref, dwst_ref, dwsb_ref,
                 dbs_ref, dwsig_ref, dbsig_ref, *,
@@ -230,13 +255,19 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
     # h/act'/act'' come from the cheap activation polynomials instead
     feat = wsig_r.shape[0]
     zs_all = zs_ref[:]
-    hs, d1s, d2s = [], [], []
+    # ... and the grad-chain states u_i the fwd kernel's _grad_chain
+    # already produced: they are EXACTLY this kernel's b_th states (same
+    # sigmoid(zsig)*mask seed, same recurrence), so loading them drops
+    # one 512-wide matmul per layer of pure recompute from the sweep
+    us_all = us_ref[:]
+    hs, d1s, d2s, bths = [], [], [], []
     for i in range(layers):
         z = zs_all[:, i * feat:(i + 1) * feat].astype(jnp.float32)
         h, d1, d2 = _act_all(z, _w0_of(i), siren, fast, True)
         hs.append(h)
         d1s.append(d1)
         d2s.append(d2)
+        bths.append(us_all[:, i * feat:(i + 1) * feat].astype(jnp.float32))
     zsig = _mm(hs[-1], packed["w_sigma"], od) + packed["b_sigma"]
 
     # tangent forward (depends on the cotangent c_g, so it cannot be
@@ -278,15 +309,15 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
     acc(dwsig_ref, _outer(hs[-1], a_z, od) + _outer(ths[-1], b_tz, od))
     acc(dbsig_ref, jnp.sum(a_z, axis=0))
     a_h = _mm_t(a_z, packed["w_sigma"], od) + cf_ref[:].astype(jnp.float32)
-    b_th = _mm_t(b_tz, packed["w_sigma"], od)
 
-    # 3) reverse sweep over (primal, tangent) pairs
+    # 3) reverse sweep over (primal, tangent) pairs; the b_th states come
+    # from the fwd kernel (bths), only the a chain is propagated here
     dwm_parts = [None] * max(layers - 2, 0)
     dbm_parts = [None] * max(layers - 2, 0)
     mid = layers - 3
     for i in range(layers - 1, -1, -1):
-        a_zl = d1s[i] * a_h + d2s[i] * tzs[i] * b_th
-        b_tzl = d1s[i] * b_th
+        a_zl = d1s[i] * a_h + d2s[i] * tzs[i] * bths[i]
+        b_tzl = d1s[i] * bths[i]
         if i == 0:
             acc(dw0_ref, _outer(x, a_zl, od) + _outer(t, b_tzl, od))
             acc(db0_ref, jnp.sum(a_zl, axis=0))
@@ -296,13 +327,11 @@ def _bwd_kernel(x_ref, cs_ref, cf_ref, cg_ref, zs_ref,
                 + _outer(ths[i - 1], b_tzl, od))
             acc(dbs_ref, jnp.sum(a_zl, axis=0))
             a_h = _mm_t(a_zl, packed["w_skip_bot"], od)
-            b_th = _mm_t(b_tzl, packed["w_skip_bot"], od)
         else:
             dwm_parts[mid] = (_outer(hs[i - 1], a_zl, od)
                               + _outer(ths[i - 1], b_tzl, od))
             dbm_parts[mid] = jnp.sum(a_zl, axis=0)
             a_h = _mm_t(a_zl, packed["w_mid"][mid], od)
-            b_th = _mm_t(b_tzl, packed["w_mid"][mid], od)
             mid -= 1
     if layers > 2:
         acc(dwm_ref, jnp.stack(dwm_parts))
@@ -365,16 +394,18 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
                      else jnp.float32),
                  jax.ShapeDtypeStruct((n_p, ein_p), jnp.float32)]
     if want_zs:
-        out_specs.append(row(layers * feat))
-        # zs stored in the ACTIVATION-STORAGE dtype (same rule as feats
-        # above): bf16 only under bfloat16_all, where bf16 rounding of the
-        # saved pre-activations matches the precision regime of the rest
-        # of the pipeline.  Plain 'bfloat16' (mixed) keeps its documented
-        # f32-activation contract — and f32 zs are bit-exact parity with
-        # the recompute path.
+        # zs + us stored in the ACTIVATION-STORAGE dtype (same rule as
+        # feats above): bf16 only under bfloat16_all, where bf16 rounding
+        # of the saved state matches the precision regime of the rest of
+        # the pipeline.  Plain 'bfloat16' (mixed) keeps its documented
+        # f32-activation contract — and f32 saves are bit-exact parity
+        # with the recompute path.
         zs_dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16_all"
                  else jnp.float32)
-        out_shape.append(jax.ShapeDtypeStruct((n_p, layers * feat), zs_dt))
+        for _ in range(2):        # zs, then us (grad-chain states)
+            out_specs.append(row(layers * feat))
+            out_shape.append(jax.ShapeDtypeStruct((n_p, layers * feat),
+                                                  zs_dt))
     outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p),
@@ -396,12 +427,12 @@ def _run_fwd(cfg: ModelConfig, packed: Dict, x_enc, interpret=None,
     # the encoding jacobian at the padded width instead.
     res = (sigma[:n, 0], feats[:n], gx[:n])
     if want_zs:
-        return res + (outs[3],)      # zs stays padded (kernel-layout)
+        return res + (outs[3], outs[4])   # zs/us stay padded (kernel-layout)
     return res
 
 
 def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
-             zs, interpret=None):
+             zs, us, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
     layers, skip, siren, fast, od = _static(cfg)
@@ -428,6 +459,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
     cf = jnp.zeros((n_p, feat), c_feats.dtype).at[:n].set(c_feats)
     cg = padrow(c_g, ein_p)
     assert zs.shape == (n_p, layers * feat), (zs.shape, n_p, layers, feat)
+    assert us.shape == zs.shape, (us.shape, zs.shape)
 
     grid = (n_p // TILE_N,)
     kern = functools.partial(_bwd_kernel, layers=layers, skip=skip,
@@ -445,7 +477,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
     outs = pl.pallas_call(
         kern, grid=grid, compiler_params=params_tpu,
         in_specs=[row(ein_p), row(1), row(feat), row(ein_p),
-                  row(layers * feat),
+                  row(layers * feat), row(layers * feat),
                   full((ein_p, feat)), full((feat,)),
                   full((n_mid, feat, feat)), full((n_mid, feat)),
                   full((ein_p, feat)), full((feat, feat)), full((feat,)),
@@ -467,7 +499,7 @@ def _run_bwd(cfg: ModelConfig, packed: Dict, x_enc, c_sigma, c_feats, c_g,
                    jax.ShapeDtypeStruct((feat, LANE), jnp.float32),
                    jax.ShapeDtypeStruct((LANE,), jnp.float32)),
         interpret=interpret,
-    )(x, cs, cf, cg, zs,
+    )(x, cs, cf, cg, zs, us,
       packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
       packed["w_skip_top"], packed["w_skip_bot"], packed["b_skip"],
       packed["w_sigma"], packed["b_sigma"])
@@ -509,18 +541,19 @@ def trunk_core(cfg: ModelConfig, params_sub: Dict, x_enc):
 
 def _trunk_core_fwd(cfg, params_sub, x_enc):
     # the differentiated path asks the fwd kernel to save the per-layer
-    # pre-activations so the bwd kernel skips the primal recompute; the
-    # primal trunk_core (no-grad eval/serving) never pays that write
+    # pre-activations AND grad-chain states so the bwd kernel skips both
+    # the primal recompute and the b-chain recompute; the primal
+    # trunk_core (no-grad eval/serving) never pays those writes
     packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
-    sigma, feats, gx, zs = _run_fwd(cfg, packed, x_enc, want_zs=True)
-    return (sigma, feats, gx), (params_sub, x_enc, zs)
+    sigma, feats, gx, zs, us = _run_fwd(cfg, packed, x_enc, want_zs=True)
+    return (sigma, feats, gx), (params_sub, x_enc, zs, us)
 
 
 def _trunk_core_bwd(cfg, res, cots):
-    params_sub, x_enc, zs = res
+    params_sub, x_enc, zs, us = res
     c_sigma, c_feats, c_g = cots
     packed = pack_trunk_weights(params_sub, cfg, _static(cfg)[4])
-    outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g, zs)
+    outs = _run_bwd(cfg, packed, x_enc, c_sigma, c_feats, c_g, zs, us)
     # the real encoding width comes from the PARAMS (x_enc may arrive
     # lane-padded on the padded-encoding path; its pad lanes are zero so
     # dw0/dwst pad rows are zero and slice away exactly)
