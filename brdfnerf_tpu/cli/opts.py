@@ -185,6 +185,14 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = single device; N builds "
                         "a 1-D ray-sharding mesh over the first N devices)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: with --n_devices N and "
+                        "--tp T, builds a 2-D (data=N/T, model=T) mesh and "
+                        "shards the trunk Megatron-style over the 'model' "
+                        "axis (parallel/tensor.py; pays only when the "
+                        "per-device batch or model no longer fits — see "
+                        "BASELINE.md 'Tensor parallelism: memory "
+                        "economics')")
     p.add_argument("--sharded_store", type=int, default=0, choices=[0, 1],
                    help="shard the device ray store over the mesh 'data' "
                         "axis (1/N of the rays + HBM per device, per-shard "

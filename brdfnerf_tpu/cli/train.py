@@ -53,9 +53,18 @@ def main(argv=None):
         store = train_ds.store
 
     mesh = None
-    if getattr(args, "n_devices", 0):
+    n_dev = getattr(args, "n_devices", 0)
+    tp = getattr(args, "tp", 1)
+    if tp > 1:
+        if not n_dev or n_dev % tp:
+            raise SystemExit(
+                f"--tp {tp} needs --n_devices set to a multiple of it "
+                f"(got {n_dev})")
+        from ..parallel.tensor import tp_mesh
+        mesh = tp_mesh(n_dev // tp, tp)
+    elif n_dev:
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(args.n_devices)
+        mesh = make_mesh(n_dev)
 
     ckpts_dir = os.path.join(args.ckpts_dir, args.exp_name)
     paths = TrainerPaths(logs_dir=run_dir, ckpts_dir=ckpts_dir,

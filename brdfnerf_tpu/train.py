@@ -268,9 +268,25 @@ class Trainer:
         self.t_gsam_only = tcfg.gsam_only_on * self.max_steps
         self.t_ds_drop = tcfg.ds_drop * self.max_steps
 
+        # mesh placement: replicate on the 1-D data-parallel mesh; on a
+        # 2-D (data, model) mesh the trunk shards Megatron-style over the
+        # 'model' axis (parallel/tensor.py) and every step/render fn below
+        # receives the matching state shardings so GSPMD keeps the layout
+        self._state_shardings = None
         if mesh is not None:
-            from .parallel.mesh import replicate
-            self.state = replicate(mesh, self.state)
+            from .parallel.tensor import model_axis_size
+            if model_axis_size(mesh) > 1:
+                from .parallel.tensor import shard_state, state_shardings
+                skips = cfg.model.skips
+                self._state_shardings = state_shardings(
+                    mesh, self.state, skips=skips)
+                self.state = shard_state(mesh, self.state, skips=skips)
+                print(f"[mesh] tensor parallelism: trunk sharded over "
+                      f"{model_axis_size(mesh)} 'model' devices x "
+                      f"{dict(mesh.shape).get('data', 1)} 'data'")
+            else:
+                from .parallel.mesh import replicate
+                self.state = replicate(mesh, self.state)
 
         self._step_fns: Dict[Any, Any] = {}
         # render fns cached BY RenderConfig (frozen dataclass -> hashable):
@@ -323,11 +339,13 @@ class Trainer:
                     self.cfg.model, rcfg, self.cfg.train, self.opt,
                     self._gate_schedule(),
                     has_kp=self.depth_batcher is not None, mesh=self.mesh,
-                    store_sharded=self.sharded_store)
+                    store_sharded=self.sharded_store,
+                    state_shardings=self._state_shardings)
             else:
                 self._step_fns[phase] = make_train_step(
                     self.cfg.model, rcfg, self.cfg.train, self.opt,
-                    mesh=self.mesh)
+                    mesh=self.mesh,
+                    state_shardings=self._state_shardings)
         return self._step_fns[phase]
 
     def _gate_schedule(self):
@@ -353,7 +371,8 @@ class Trainer:
                 self.cfg.model, rcfg, self.cfg.train, self.opt,
                 self._gate_schedule(),
                 has_kp=self.depth_batcher is not None, mesh=self.mesh,
-                store_sharded=self.sharded_store)
+                store_sharded=self.sharded_store,
+                state_shardings=self._state_shardings)
         return self._step_fns[key]
 
     def _gates(self, step: int, epoch: int) -> TrainGates:
@@ -624,7 +643,9 @@ class Trainer:
             from .parallel.train_step import make_scan_render_step
             self._scan_render_fns[rcfg] = make_scan_render_step(
                 self.cfg.model, rcfg, self.PER_RAY_KEYS, self.PANEL_ACCUM,
-                mesh=self.mesh)
+                mesh=self.mesh,
+                param_shardings=(None if self._state_shardings is None
+                                 else self._state_shardings.params))
         fn = self._scan_render_fns[rcfg]
         n_chunks = max(1, -(-n // chunk))
         block = max(1, int(os.environ.get("BRDFNERF_RENDER_SCAN_BLOCK",

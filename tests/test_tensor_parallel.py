@@ -307,3 +307,67 @@ def test_tp_scaled_trunk_converges_on_mesh():
     w = state.params["coarse"]["fc_net"][1]["w"]
     assert w.sharding.spec == P("model", None)
     assert w.addressable_shards[0].data.shape == (2048 // 4, 2048)
+
+
+# ----------------------------------------------- Trainer / CLI reachability
+
+def test_trainer_tp_matches_dp(tmp_path):
+    """The user-facing TP path (Trainer(mesh=tp_mesh(...)), what the train
+    CLI's --tp flag builds): the 2x4 (data, model) Trainer must track the
+    8-dev DP Trainer step for step (same seed -> identical batcher draws),
+    with the TP run driving the SCAN-chunked loop so the Trainer's
+    state_shardings plumbing is exercised on both step-fn kinds; trunk
+    weights stay 'model'-sharded through fit, the final checkpoint save
+    (epoch=N.npz from TP-sharded arrays) round-trips, and the scan
+    full-image render path accepts the TP param shardings."""
+    import dataclasses as dc
+    from brdfnerf_tpu.config import RunConfig
+    from brdfnerf_tpu.train import Trainer, TrainerPaths
+    from brdfnerf_tpu.utils import checkpoint as ckpt
+
+    mcfg, rcfg, tcfg = _cfg()
+    tcfg = dc.replace(tcfg, max_train_steps=8)
+    cfg = RunConfig(model=mcfg, render=rcfg, train=tcfg)
+    store = _batch(512)
+
+    trainers = {}
+    for name, mesh, chunk in (("dp", make_mesh(8), 1),
+                              ("tp", tp_mesh(2, 4), 2)):
+        tr = Trainer(cfg, store,
+                     TrainerPaths(logs_dir=str(tmp_path / f"l_{name}"),
+                                  ckpts_dir=str(tmp_path / f"c_{name}")),
+                     mesh=mesh, seed=0)
+        m = tr.fit(max_steps=8, log_every=4, eval_every_n_epochs=0,
+                   save_ckpt_every_n_epochs=0, progress=False,
+                   scan_chunk=chunk)
+        trainers[name] = (m, tr)
+    (m_dp, tr_dp), (m_tp, tr_tp) = trainers["dp"], trainers["tp"]
+    np.testing.assert_allclose(m_tp["loss"], m_dp["loss"], rtol=5e-4)
+    np.testing.assert_allclose(m_tp["psnr"], m_dp["psnr"], rtol=5e-4)
+
+    # trunk stayed TP-sharded through the whole fit
+    w = tr_tp.state.params["coarse"]["fc_net"][0]["w"]
+    assert w.sharding.spec == P(None, "model")
+    # and landed within reduction tolerance of the DP weights
+    np.testing.assert_allclose(
+        np.asarray(w),
+        np.asarray(tr_dp.state.params["coarse"]["fc_net"][0]["w"]),
+        rtol=5e-4, atol=5e-6)
+
+    # the final-save checkpoint materialized host-side from sharded arrays
+    ck = str(tmp_path / "c_tp" / "epoch=1.npz")
+    assert ckpt.checkpoint_step(ck) == 8
+    restored = ckpt.restore_params(tr_dp.state.params, ck)
+    np.testing.assert_allclose(
+        np.asarray(restored["coarse"]["fc_net"][0]["w"]),
+        np.asarray(w), rtol=1e-6)
+
+    # scan full-image render under TP param shardings vs the DP render
+    # (params differ by the trained-weight tolerance above, and the siren
+    # trunk amplifies isolated rays — bound the mean, not the max)
+    sample = {"rays": _batch(512, seed=5)["rays"]}
+    out_dp = tr_dp.render_image(sample, chunk=128)
+    out_tp = tr_tp.render_image(sample, chunk=128)
+    d = np.abs(out_tp["rgb_coarse"] - out_dp["rgb_coarse"])
+    assert np.isfinite(out_tp["rgb_coarse"]).all()
+    assert float(d.mean()) < 2e-3, float(d.mean())
