@@ -41,7 +41,8 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
              checkpoints_dir: str = None, output_dir: str = None,
              find_best_t: bool = False, compute_dtype: str = None,
              normal_at_surface: bool = None,
-             sun_march_samples: int = None) -> Dict:
+             sun_march_samples: int = None,
+             n_devices: int = 0) -> Dict:
     import jax.numpy as jnp
     from ..utils.geotiff import write_geotiff, GeoProfile
     from ..metrics import psnr as psnr_m, masked_scores
@@ -60,7 +61,7 @@ def evaluate(run_dir: str, epoch_number: int, split: str = "val",
                       compute_dtype=compute_dtype,
                       normal_at_surface=normal_at_surface,
                       sun_march_samples=sun_march_samples,
-                      output_dir=out_dir)
+                      output_dir=out_dir, n_devices=n_devices)
     args, tr, val_ds = r.args, r.trainer, r.dataset
 
     psnrs, ssims, maes, maes_nr = [], [], [], []
@@ -160,7 +161,8 @@ def main(argv=None):
              find_best_t=bool(args.find_best_t),
              compute_dtype=args.compute_dtype,
              normal_at_surface=args.normal_at_surface,
-             sun_march_samples=args.sun_march_samples)
+             sun_march_samples=args.sun_march_samples,
+             n_devices=args.n_devices)
     return 0
 
 

@@ -259,6 +259,11 @@ def eval_parser() -> argparse.ArgumentParser:
                         "pre-knob runs trained with and what their "
                         "reloaded opts.json defaults to; positive = "
                         "explicit count)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="multi-chip serving: shard each image's rays over "
+                        "a 1-D mesh of the first N devices (params "
+                        "replicate; same sharded/scan render paths the "
+                        "multichip dryrun certifies). 0 = single device")
     return p
 
 

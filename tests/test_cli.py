@@ -427,3 +427,22 @@ def test_brf_probe_cli(two_stage_run):
                        "--n_views", "9", "--param_probe"]) == 0
     out = os.path.join(run_dir, f"brf_epoch{last}")
     assert any(f.endswith(".txt") for f in os.listdir(out))
+
+
+def test_eval_cli_multichip_matches_single_device(spsnerf_run, tmp_path):
+    """--n_devices 8 (multi-chip serving through serve.load_renderer's
+    mesh) scores the same metrics as the single-device eval: the ray-
+    sharded scan render is a pure layout change (the dryrun pins the
+    rendered pixels; this pins the full eval CLI consumer on the mesh)."""
+    from brdfnerf_tpu.cli.eval import evaluate
+
+    run_dir = spsnerf_run["run_dir"]
+    last = spsnerf_run["last_epoch"]
+    base = evaluate(run_dir, last, output_dir=str(tmp_path / "one"))
+    mesh = evaluate(run_dir, last, output_dir=str(tmp_path / "mesh"),
+                    n_devices=8)
+    assert np.isfinite(mesh["psnr"])
+    assert mesh["psnr"] == pytest.approx(base["psnr"], rel=1e-4)
+    assert mesh["ssim"] == pytest.approx(base["ssim"], rel=1e-4)
+    if np.isfinite(base.get("mae", np.nan)):
+        assert mesh["mae"] == pytest.approx(base["mae"], rel=1e-3)
