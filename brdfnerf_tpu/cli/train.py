@@ -17,6 +17,14 @@ def main(argv=None):
     from ..utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     args = opts_mod.postprocess(opts_mod.train_parser().parse_args(argv))
+    # fail fast on a bad mesh spec — dataset ingestion below can take
+    # minutes, and the mesh isn't built until after it
+    n_dev = getattr(args, "n_devices", 0)
+    tp = getattr(args, "tp", 1)
+    if tp > 1 and (not n_dev or n_dev % tp):
+        raise SystemExit(
+            f"--tp {tp} needs --n_devices set to a multiple of it "
+            f"(got {n_dev})")
     run_dir = os.path.join(args.logs_dir, args.exp_name)
     opts_mod.dump_opts(args, run_dir)
     cfg = opts_mod.to_run_config(args)
@@ -53,13 +61,7 @@ def main(argv=None):
         store = train_ds.store
 
     mesh = None
-    n_dev = getattr(args, "n_devices", 0)
-    tp = getattr(args, "tp", 1)
-    if tp > 1:
-        if not n_dev or n_dev % tp:
-            raise SystemExit(
-                f"--tp {tp} needs --n_devices set to a multiple of it "
-                f"(got {n_dev})")
+    if tp > 1:           # validated against n_dev right after parse above
         from ..parallel.tensor import tp_mesh
         mesh = tp_mesh(n_dev // tp, tp)
     elif n_dev:

@@ -446,3 +446,16 @@ def test_eval_cli_multichip_matches_single_device(spsnerf_run, tmp_path):
     assert mesh["ssim"] == pytest.approx(base["ssim"], rel=1e-4)
     if np.isfinite(base.get("mae", np.nan)):
         assert mesh["mae"] == pytest.approx(base["mae"], rel=1e-3)
+
+
+def test_train_cli_tp_rejects_bad_mesh_spec(tmp_path):
+    """--tp without a compatible --n_devices fails fast at parse time
+    (before dataset ingestion, which can take minutes)."""
+    from brdfnerf_tpu.cli.train import main as train_main
+    argv = ["--model", "sps-nerf", "--exp_name", "bad_tp",
+            "--root_dir", str(tmp_path), "--logs_dir", str(tmp_path / "l"),
+            "--ckpts_dir", str(tmp_path / "c")]
+    with pytest.raises(SystemExit, match="--tp 4 needs --n_devices"):
+        train_main(argv + ["--n_devices", "6", "--tp", "4"])
+    with pytest.raises(SystemExit, match="--tp 4 needs --n_devices"):
+        train_main(argv + ["--tp", "4"])
